@@ -1,0 +1,128 @@
+"""Onet: twin (optionally weight-shared) U-Nets with a JSD mutual-information
+head, as a pure-functional TPU model.
+
+Behavior parity with the reference Onet (Onet_vanilla_20240606.py:156-267):
+
+* complementary input X_d = clip(1 - X + bias, 0, 1) (:180),
+* per-pixel projection V_i = <L_i, H_i> (:176,182). NOTE on :231-232 the
+  reference contracts a 1-channel probability slice against the 64-channel
+  local features via torch.einsum broadcasting, so the JSD inner product is
+  really S * sum_c(L); ``channel_dot`` reproduces exactly that semantics
+  for both the matched- and broadcast-channel cases,
+* S = softmax over the [V_t, V_d] pair (:185-189),
+* JSD lower bound jsd(L, S, S') = -mean(log1pexp(-<L,S>)) -
+  mean(log1pexp(<L,S'>)) and symmetric loss -(jsd_top + jsd_dwn)/2
+  (:221-235, :253-267).
+
+TPU design: with weight sharing the two branches run as ONE [2B, H, W, C]
+batch (twice the MXU occupancy of sequential passes); branch-grouped
+BatchNorm (models/layers.py) keeps the statistics identical to the
+reference's two sequential passes. Without sharing, the twin parameter
+trees are stacked on a leading axis and vmapped.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from onet_tpu.core.policy import Policy, DEFAULT
+from onet_tpu.models.unet import unet_init, unet_apply
+from onet_tpu.ops.math import log1pexp
+from onet_tpu.ops.normalize import complement
+
+
+class OnetOutput(NamedTuple):
+    Lt: jnp.ndarray  # [B, H, W, 64] local features, top branch
+    Ld: jnp.ndarray  # [B, H, W, 64] local features, down branch
+    Vt: jnp.ndarray  # [B, H, W] projection logits, top
+    Vd: jnp.ndarray  # [B, H, W] projection logits, down
+    S: jnp.ndarray   # [B, H, W, 2] class probabilities (softmax over pair)
+
+
+def onet_init(key, in_channels: int = 1, *, weight_share: bool = True,
+              dtype=jnp.float32, base: int = 64):
+    """Returns (params, state). Twin nets get independent init keys, matching
+    the reference's two separately-initialized UNets when bshare=False."""
+    if weight_share:
+        p, s = unet_init(key, in_channels, dtype, base=base)
+        return {"top": p}, {"top": s}
+    k1, k2 = jax.random.split(key)
+    pt, st = unet_init(k1, in_channels, dtype, base=base)
+    pd, sd = unet_init(k2, in_channels, dtype, base=base)
+    return {"top": pt, "down": pd}, {"top": st, "down": sd}
+
+
+def is_weight_shared(params) -> bool:
+    return "down" not in params
+
+
+def channel_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """einsum('bpxy,bpxy->bxy') with torch broadcast semantics, NHWC layout.
+
+    a: [B, H, W, Ca], b: [B, H, W, Cb] with Ca == Cb, or either == 1
+    (size-1 channels broadcast, exactly as torch.einsum does for the JSD
+    projection of a [B,1,H,W] probability against [B,64,H,W] features).
+    """
+    ca, cb = a.shape[-1], b.shape[-1]
+    if ca == cb:
+        return jnp.sum(a * b, axis=-1)
+    if cb == 1:
+        return jnp.sum(a, axis=-1) * b[..., 0]
+    if ca == 1:
+        return a[..., 0] * jnp.sum(b, axis=-1)
+    raise ValueError(f"incompatible channel dims {ca} vs {cb}")
+
+
+def onet_forward(params, state, x, *, train: bool, bias: float = 0.0,
+                 policy: Policy = DEFAULT):
+    """Forward pass on an NHWC batch in [0, 1]. Returns (OnetOutput, state)."""
+    xd = complement(x, bias)
+    if is_weight_shared(params):
+        xx = jnp.concatenate([x, xd], axis=0)  # [2B, H, W, C]
+        (loc, glob), new_top = unet_apply(params["top"], state["top"], xx,
+                                          train=train, groups=2, policy=policy)
+        b = x.shape[0]
+        lt, ld = loc[:b], loc[b:]
+        ht, hd = glob[:b], glob[b:]
+        new_state = {"top": new_top}
+    else:
+        (lt, ht), new_top = unet_apply(params["top"], state["top"], x,
+                                       train=train, groups=1, policy=policy)
+        (ld, hd), new_dwn = unet_apply(params["down"], state["down"], xd,
+                                       train=train, groups=1, policy=policy)
+        new_state = {"top": new_top, "down": new_dwn}
+
+    vt = channel_dot(lt.astype(jnp.float32), ht.astype(jnp.float32))
+    vd = channel_dot(ld.astype(jnp.float32), hd.astype(jnp.float32))
+    s = jax.nn.softmax(jnp.stack([vt, vd], axis=-1), axis=-1)
+    return OnetOutput(Lt=lt, Ld=ld, Vt=vt, Vd=vd, S=s), new_state
+
+
+def predict_label(s: jnp.ndarray) -> jnp.ndarray:
+    """argmax over the class pair: 0 = top wins, 1 = down wins. [B, H, W]."""
+    return jnp.argmax(s, axis=-1)
+
+
+def jsd(l_sum: jnp.ndarray, s_self: jnp.ndarray, s_other: jnp.ndarray) -> jnp.ndarray:
+    """JSD lower bound for one branch.
+
+    l_sum: channel-summed local features [B, H, W] (see channel_dot note),
+    s_self/s_other: [B, H, W] probabilities of this / the other branch.
+    """
+    ls = l_sum * s_self
+    lsp = l_sum * s_other
+    return -jnp.mean(log1pexp(-ls)) - jnp.mean(log1pexp(lsp))
+
+
+def compute_loss(out: OnetOutput) -> jnp.ndarray:
+    """Symmetric JSD loss, float32."""
+    ct = jnp.sum(out.Lt.astype(jnp.float32), axis=-1)
+    cd = jnp.sum(out.Ld.astype(jnp.float32), axis=-1)
+    st = out.S[..., 0]
+    sd = out.S[..., 1]
+    jsd_top = jsd(ct, st, sd)
+    jsd_dwn = jsd(cd, sd, st)
+    return -(jsd_top + jsd_dwn) / 2.0

@@ -1,0 +1,141 @@
+"""Functional 4-down/4-up U-Net returning (local, global) feature maps.
+
+Structure parity with the reference UNet (Onet_vanilla_20240606.py:104-153):
+channels 64-128-256-512-1024, DoubleConv = (3x3 conv no-bias -> BN -> ReLU)x2
+(:39-58), Down = maxpool2 + DoubleConv (:61-72), Up = ConvTranspose(k=2,s=2)
+-> pad-to-match -> concat(skip, up) -> DoubleConv (:75-101). The forward
+returns the FIRST DoubleConv output (64-ch local features) and the LAST
+decoder output (64-ch global features); there is no segmentation head
+(:142-153).
+
+TPU design: one fused [G*B, H, W, C] pass carries G complementary branches
+(see layers.batch_norm); all shapes static; odd spatial sizes get the same
+asymmetric pad as the reference's F.pad (:92-96).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from onet_tpu.core.policy import Policy, DEFAULT
+from onet_tpu.models import layers as L
+
+CHANNELS = (64, 128, 256, 512, 1024)
+
+
+def _channels(base: int = 64):
+    return tuple(base * m for m in (1, 2, 4, 8, 16))
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _double_conv_init(key, cin, cout, cmid=None, dtype=jnp.float32):
+    cmid = cmid or cout
+    k1, k2 = jax.random.split(key)
+    p1, s1 = L.bn_init(cmid, dtype)
+    p2, s2 = L.bn_init(cout, dtype)
+    params = {
+        "conv1": {"w": L.kaiming_normal_conv(k1, 3, 3, cin, cmid, dtype)},
+        "bn1": p1,
+        "conv2": {"w": L.kaiming_normal_conv(k2, 3, 3, cmid, cout, dtype)},
+        "bn2": p2,
+    }
+    state = {"bn1": s1, "bn2": s2}
+    return params, state
+
+
+def _up_init(key, cin, cout, dtype=jnp.float32):
+    kt, kc = jax.random.split(key)
+    w, b = L.torch_default_convT(kt, 2, 2, cin, cin // 2, dtype)
+    conv_p, conv_s = _double_conv_init(kc, cin, cout, dtype=dtype)
+    return {"up": {"w": w, "b": b}, "conv": conv_p}, {"conv": conv_s}
+
+
+def unet_init(key, in_channels: int = 1, dtype=jnp.float32, *, base: int = 64):
+    """Build the (params, state) pytrees for one U-Net.
+
+    ``base`` scales every stage width (64 -> the reference's 31M-param net;
+    smaller values give structurally identical shrunken nets for tests).
+    """
+    c = _channels(base)
+    keys = jax.random.split(key, 9)
+    params, state = {}, {}
+    params["inc"], state["inc"] = _double_conv_init(keys[0], in_channels, c[0], dtype=dtype)
+    downs_in = c[:4]
+    for i in range(4):
+        p, s = _double_conv_init(keys[1 + i], downs_in[i], c[i + 1], dtype=dtype)
+        params[f"down{i + 1}"], state[f"down{i + 1}"] = p, s
+    ups_in = (c[4], c[3], c[2], c[1])
+    ups_out = (c[3], c[2], c[1], c[0])
+    for i in range(4):
+        p, s = _up_init(keys[5 + i], ups_in[i], ups_out[i], dtype=dtype)
+        params[f"up{i + 1}"], state[f"up{i + 1}"] = p, s
+    return params, state
+
+
+def param_count(params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def _double_conv(params, state, x, *, train, groups, policy):
+    x = L.conv3x3(x, params["conv1"]["w"], policy=policy)
+    x, s1 = L.batch_norm(x, params["bn1"], state["bn1"], train=train, groups=groups)
+    x = L.relu(x)
+    x = L.conv3x3(x, params["conv2"]["w"], policy=policy)
+    x, s2 = L.batch_norm(x, params["bn2"], state["bn2"], train=train, groups=groups)
+    x = L.relu(x)
+    return x, {"bn1": s1, "bn2": s2}
+
+
+def _down(params, state, x, *, train, groups, policy):
+    return _double_conv(params, state, L.max_pool_2x2(x), train=train,
+                        groups=groups, policy=policy)
+
+
+def _up(params, state, x, skip, *, train, groups, policy):
+    x = L.conv_transpose_2x2(x, params["up"]["w"], params["up"]["b"], policy=policy)
+    dh = skip.shape[1] - x.shape[1]
+    dw = skip.shape[2] - x.shape[2]
+    if dh or dw:
+        x = jnp.pad(x, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
+    x = jnp.concatenate([skip, x], axis=-1)  # reference concat order: [skip, up]
+    y, s = _double_conv(params["conv"], state["conv"], x, train=train,
+                        groups=groups, policy=policy)
+    return y, {"conv": s}
+
+
+def unet_apply(params, state, x, *, train: bool, groups: int = 1,
+               policy: Policy = DEFAULT):
+    """Run the U-Net on an NHWC batch.
+
+    Returns ((local, glob), new_state): ``local`` is the 64-channel output
+    of the input DoubleConv, ``glob`` the 64-channel final decoder output.
+    """
+    new_state = {}
+    x1, new_state["inc"] = _double_conv(params["inc"], state["inc"], x,
+                                        train=train, groups=groups, policy=policy)
+    x2, new_state["down1"] = _down(params["down1"], state["down1"], x1,
+                                   train=train, groups=groups, policy=policy)
+    x3, new_state["down2"] = _down(params["down2"], state["down2"], x2,
+                                   train=train, groups=groups, policy=policy)
+    x4, new_state["down3"] = _down(params["down3"], state["down3"], x3,
+                                   train=train, groups=groups, policy=policy)
+    x5, new_state["down4"] = _down(params["down4"], state["down4"], x4,
+                                   train=train, groups=groups, policy=policy)
+
+    y4, new_state["up1"] = _up(params["up1"], state["up1"], x5, x4,
+                               train=train, groups=groups, policy=policy)
+    y3, new_state["up2"] = _up(params["up2"], state["up2"], y4, x3,
+                               train=train, groups=groups, policy=policy)
+    y2, new_state["up3"] = _up(params["up3"], state["up3"], y3, x2,
+                               train=train, groups=groups, policy=policy)
+    y1, new_state["up4"] = _up(params["up4"], state["up4"], y2, x1,
+                               train=train, groups=groups, policy=policy)
+    return (x1, y1), new_state
