@@ -1,0 +1,64 @@
+"""Checkpointing: a pickle-free npz of flattened pytrees.
+
+Schema parity with the reference's ``{"net": state_dict, "epoch": int}``
+torch.save dicts (Train_Onet_on_simclutter_20250407.py:264-266,
+Train_Onet_on_zy3_20240606.py:145-149): we store {params, bn_state,
+epoch} and the same save points (final epoch + epoch 300) are driven by
+the training loops. File naming keeps the reference's datehour mark.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _flatten(tree, prefix: str) -> Dict[str, np.ndarray]:
+    flat = {}
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in leaves:
+        key = prefix + "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                                for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten(template, flat: Dict[str, np.ndarray], prefix: str):
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+
+    def lookup(path):
+        key = prefix + "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                                for p in path)
+        return jnp.asarray(flat[key])
+
+    leaves = [lookup(path) for path, _ in paths]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def datehour_mark() -> str:
+    now = datetime.now()
+    return "%04d_%02d%02d_%02d" % (now.year, now.month, now.day, now.hour)
+
+
+def save_checkpoint(path: str, params, bn_state, epoch: int):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = {"__epoch__": np.asarray(epoch)}
+    flat.update(_flatten(params, "p:"))
+    flat.update(_flatten(bn_state, "s:"))
+    np.savez(path, **flat)
+
+
+def load_checkpoint(path: str, params_template, state_template):
+    """Returns (params, bn_state, epoch); templates supply the tree
+    structure (shapes validated implicitly by assignment)."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    params = _unflatten(params_template, flat, "p:")
+    bn_state = _unflatten(state_template, flat, "s:")
+    return params, bn_state, int(flat["__epoch__"])

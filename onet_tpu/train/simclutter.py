@@ -1,0 +1,133 @@
+"""Workload 1: unsupervised Onet training on simulated sea clutter.
+
+TPU re-design of Train_Onet_on_simclutter_20250407.py:
+* data is generated on device (sim.rayleigh) instead of loaded from .pt,
+* the per-batch python loop drives ONE compiled train step with donated
+  buffers; batches are device-side gathers,
+* eval every ``eval_every`` epochs with the flip-test alignment and the
+  (acc, miou, dr, far, tiou) bundle, batch-averaged like test_simclutter
+  (:98-172),
+* Adam lr 5e-6 halved every 100 epochs (:181,248-249), checkpoints at the
+  final epoch and epoch 300 (:255-266), reference-format epoch log lines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from onet_tpu.core.checkpoint import save_checkpoint, datehour_mark
+from onet_tpu.core.policy import Policy, DEFAULT
+from onet_tpu.data.arrays import ArrayDataset, batch_iterator
+from onet_tpu.data.simclutter import simclutter_datasets
+from onet_tpu.models.onet import onet_init
+from onet_tpu.models.unet import param_count
+from onet_tpu.report.logs import epoch_log_line, setup_logging
+from onet_tpu.train.optim import adam_init, step_decay
+from onet_tpu.train.steps import make_train_step, make_eval_step
+
+
+@dataclasses.dataclass
+class SimclutterConfig:
+    model_name: str = "onet_rayleigh"
+    epoch_nums: int = 301
+    batch_sz: int = 10
+    input_sz: int = 224
+    in_channels: int = 1
+    weight_share: bool = True
+    binit: bool = True
+    low_snr: int = 0
+    high_snr: int = 2
+    frames_per_level: int = 150
+    base_lr: float = 1e-5 / 2
+    lr_decay_every: int = 100
+    lr_decay: float = 0.5
+    eval_every: int = 50
+    out_root: str = "./checkpoint/sim_clutter"
+    seed: int = 1981
+    base_channels: int = 64
+    save_epochs: tuple = (300,)
+
+
+def evaluate(eval_step, params, bn_state, test_ds: ArrayDataset, batch_sz: int):
+    """Batch-averaged metric bundle (reference test_simclutter averaging)."""
+    sums, n = None, 0
+    for batch in batch_iterator(test_ds, batch_sz):
+        metrics, loss, _ = eval_step(params, bn_state, batch["imgs"],
+                                     batch["labels"])
+        metrics = {k: float(v) for k, v in metrics.items()}
+        sums = metrics if sums is None else {k: sums[k] + metrics[k]
+                                             for k in sums}
+        n += 1
+    return {k: v / n for k, v in sums.items()}
+
+
+def train(config: SimclutterConfig = SimclutterConfig(), *,
+          policy: Policy = DEFAULT, mesh=None,
+          datasets=None, log: bool = True, progress_cb=None):
+    """Run the workload. Returns (params, bn_state, history)."""
+    key = jax.random.key(config.seed)
+    k_data, k_model, k_loop = jax.random.split(key, 3)
+
+    if datasets is None:
+        train_ds, test_ds = simclutter_datasets(
+            k_data, low_snr=config.low_snr, high_snr=config.high_snr,
+            frames_per_level=config.frames_per_level, crop=config.input_sz)
+    else:
+        train_ds, test_ds = datasets
+
+    params, bn_state = onet_init(k_model, config.in_channels,
+                                 weight_share=config.weight_share,
+                                 base=config.base_channels)
+    opt_state = adam_init(params)
+    train_step = make_train_step(policy=policy, mesh=mesh)
+    eval_step = make_eval_step(policy=policy, align="flip", mesh=mesh)
+
+    if log:
+        log_file = setup_logging(config.out_root, config.model_name)
+        logging.info("train simclutter: %d frames, %.1fM params",
+                     len(train_ds), param_count(params) / 1e6)
+
+    history = {"loss": [], "eval": {}}
+    mark = datehour_mark()
+    for epoch in range(config.epoch_nums):
+        lr = step_decay(config.base_lr, epoch, every=config.lr_decay_every,
+                        factor=config.lr_decay)
+        losses = []
+        ek = jax.random.fold_in(k_loop, epoch)
+        for batch in batch_iterator(train_ds, config.batch_sz, key=ek):
+            params, bn_state, opt_state, loss = train_step(
+                params, bn_state, opt_state, batch["imgs"], lr)
+            losses.append(loss)
+        loss_epoch = float(jnp.mean(jnp.stack(losses)))
+        history["loss"].append(loss_epoch)
+
+        if epoch % config.eval_every == 0 or epoch == config.epoch_nums - 1:
+            metrics = evaluate(eval_step, params, bn_state, test_ds,
+                               config.batch_sz)
+            history["eval"][epoch] = metrics
+            line = epoch_log_line(config.model_name, epoch, loss_epoch, lr,
+                                  metrics)
+            if log:
+                print(line)
+                logging.info(line)
+            if progress_cb:
+                progress_cb(epoch, loss_epoch, metrics)
+
+        if epoch == config.epoch_nums - 1 or epoch in config.save_epochs:
+            path = os.path.join(
+                config.out_root,
+                f"{config.model_name}_epoch_{epoch}_{mark}.npz")
+            save_checkpoint(path, params, bn_state, epoch)
+            if log:
+                logging.info("Saved checkpoint at epoch %d: %s", epoch, path)
+
+    return params, bn_state, history

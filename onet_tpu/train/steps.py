@@ -1,0 +1,90 @@
+"""Jitted train / eval steps with mesh sharding.
+
+One compiled function per workload: forward (fused complementary 2B pass)
+-> JSD loss -> grads -> Adam, with donated params/opt-state buffers so the
+update is in-place in HBM. Batches shard over the mesh ``data`` axis
+(optionally ``space`` over H); params/optimizer state are replicated and
+GSPMD inserts the gradient all-reduce over ICI — this *is* the data-parallel
+training the reference lacks (SURVEY.md section 2.10).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from onet_tpu.core.mesh import batch_sharding, replicated
+from onet_tpu.core.policy import Policy, DEFAULT
+from onet_tpu.models.onet import onet_forward, compute_loss, predict_label
+from onet_tpu.train.optim import adam_update
+from onet_tpu.metrics.segmentation import (
+    evaluate_binary_segmentation,
+    align_labels_by_accuracy,
+    align_labels_hungarian,
+)
+
+
+def make_train_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
+                    mesh=None, spatial: bool = False):
+    """Build the jitted train step:
+    (params, bn_state, opt_state, x, lr) -> (params, bn_state, opt_state, loss)
+    """
+
+    def train_step(params, bn_state, opt_state, x, lr):
+        def loss_fn(p):
+            out, new_bn = onet_forward(p, bn_state, x, train=True,
+                                       bias=bias, policy=policy)
+            return compute_loss(out), new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = adam_update(grads, opt_state, lr)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, new_bn, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+    rep = replicated(mesh)
+    xsh = batch_sharding(mesh, spatial=spatial)
+    return jax.jit(
+        train_step,
+        donate_argnums=(0, 1, 2),
+        in_shardings=(rep, rep, rep, xsh, None),
+        out_shardings=(rep, rep, rep, None),
+    )
+
+
+def make_eval_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
+                   align: str = "flip", mesh=None, spatial: bool = False):
+    """Build the jitted eval step returning per-batch metrics.
+
+    align: 'flip'      — re_assign_label accuracy flip test (simclutter/nau
+                         eval, Train_Onet_on_simclutter_20250407.py:128),
+           'hungarian' — K=2 Hungarian reorder (zy3 eval,
+                         uti_zy3_test_20240123.py:174),
+           'none'      — raw argmax.
+    Returns (metrics dict, loss, pred_labels).
+    """
+
+    def eval_step(params, bn_state, x, labels):
+        out, _ = onet_forward(params, bn_state, x, train=False,
+                              bias=bias, policy=policy)
+        loss = compute_loss(out)
+        pred = predict_label(out.S)
+        if align == "flip":
+            pred = align_labels_by_accuracy(pred, labels)
+        elif align == "hungarian":
+            pred = align_labels_hungarian(pred, labels)
+        metrics = evaluate_binary_segmentation(pred, labels)
+        return metrics, loss, pred
+
+    if mesh is None:
+        return jax.jit(eval_step)
+
+    rep = replicated(mesh)
+    xsh = batch_sharding(mesh, spatial=spatial)
+    lsh = batch_sharding(mesh, spatial=spatial, rank=3)
+    return jax.jit(eval_step, in_shardings=(rep, rep, xsh, lsh))
