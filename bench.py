@@ -23,6 +23,11 @@ import time
 import numpy as np
 
 import jax
+
+from onet_tpu.core.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax.numpy as jnp
 
 from onet_tpu.core.policy import BF16_COMPUTE

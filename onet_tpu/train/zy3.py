@@ -1,0 +1,150 @@
+"""Workload 4: unsupervised ZY-3 cloud-detection training.
+
+TPU re-design of Train_Onet_on_zy3_20240606.py:74-177:
+* Adam lr 1e-4 + cosine-warm-restarts(T0=300, mult=2, eta_min=1e-6)
+  stepped per epoch (:89-90,128),
+* device-side augmentation on the unsupervised train batches (aug=True in
+  the reference config),
+* EVERY epoch: eval with per-image Hungarian (K=2) alignment and per-image
+  (acc, miou, dr, far) averaging + test JSD loss, matching test_on_zy3_nail
+  (uti_zy3_test_20240123.py:151-230) but without the per-epoch host/scipy
+  sync,
+* checkpoint at the final epoch (and 300), restart support (:77-82).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from onet_tpu.core.checkpoint import save_checkpoint, load_checkpoint, datehour_mark
+from onet_tpu.core.policy import Policy, DEFAULT
+from onet_tpu.data.arrays import ArrayDataset, batch_iterator
+from onet_tpu.data.augment import augment_batch
+from onet_tpu.models.onet import onet_init, onet_forward, compute_loss, predict_label
+from onet_tpu.metrics.segmentation import (
+    align_labels_hungarian, evaluate_binary_segmentation)
+from onet_tpu.report.logs import setup_logging
+from onet_tpu.train.optim import adam_init, cosine_warm_restarts
+from onet_tpu.train.steps import make_train_step
+
+
+@dataclasses.dataclass
+class Zy3Config:
+    model_name: str = "onet_vanilla_zy3"
+    epoch_nums: int = 11
+    batch_sz: int = 5
+    input_sz: int = 224
+    in_channels: int = 3
+    weight_share: bool = True
+    aug: bool = True
+    base_lr: float = 1e-4
+    eta_min: float = 1e-6
+    t0: int = 300
+    t_mult: int = 2
+    out_root: str = "./checkpoint/zy3/onet_vanilla"
+    seed: int = 1981
+    base_channels: int = 64
+    restart_from: Optional[str] = None
+    save_epochs: tuple = (300,)
+
+
+def make_zy3_eval(*, policy: Policy = DEFAULT):
+    """Per-image Hungarian-aligned metric bundle + batch JSD loss."""
+
+    @jax.jit
+    def eval_batch(params, bn_state, x, labels):
+        out, _ = onet_forward(params, bn_state, x, train=False, policy=policy)
+        loss = compute_loss(out)
+        pred = predict_label(out.S)
+
+        def per_image(p, l):
+            p2 = align_labels_hungarian(p, l)
+            return evaluate_binary_segmentation(p2, l), p2
+
+        metrics, aligned = jax.vmap(per_image)(pred, labels)
+        return metrics, loss, aligned, out.Vt, out.Vd
+
+    return eval_batch
+
+
+def evaluate_zy3(eval_batch, params, bn_state, test_ds: ArrayDataset,
+                 batch_sz: int):
+    """Returns (mean metrics dict incl. test loss, per-image metric arrays)."""
+    per_img = {k: [] for k in ("acc", "miou", "dr", "far", "tiou")}
+    losses = []
+    for batch in batch_iterator(test_ds, batch_sz):
+        metrics, loss, _, _, _ = eval_batch(params, bn_state, batch["imgs"],
+                                            batch["labels"])
+        for k in per_img:
+            per_img[k].append(np.asarray(metrics[k]))
+        losses.append(float(loss))
+    per_img = {k: np.concatenate(v) for k, v in per_img.items()}
+    mean = {k: float(v.mean()) for k, v in per_img.items()}
+    mean["test_loss"] = float(np.mean(losses))
+    return mean, per_img
+
+
+def train(config: Zy3Config, train_ds: ArrayDataset, test_ds: ArrayDataset,
+          *, policy: Policy = DEFAULT, mesh=None, log: bool = True):
+    key = jax.random.key(config.seed)
+    k_model, k_loop = jax.random.split(key)
+
+    params, bn_state = onet_init(k_model, config.in_channels,
+                                 weight_share=config.weight_share,
+                                 base=config.base_channels)
+    start_epoch = 0
+    if config.restart_from:
+        params, bn_state, start_epoch = load_checkpoint(
+            config.restart_from, params, bn_state)
+        start_epoch += 1
+    opt_state = adam_init(params)
+    train_step = make_train_step(policy=policy, mesh=mesh)
+    eval_batch = make_zy3_eval(policy=policy)
+
+    if log:
+        setup_logging(config.out_root, config.model_name)
+
+    history = {"loss": [], "eval": {}}
+    mark = datehour_mark()
+    for epoch in range(start_epoch, config.epoch_nums):
+        lr = cosine_warm_restarts(config.base_lr, epoch, t0=config.t0,
+                                  t_mult=config.t_mult, eta_min=config.eta_min)
+        losses = []
+        ek = jax.random.fold_in(k_loop, epoch)
+        for bi, batch in enumerate(batch_iterator(train_ds, config.batch_sz,
+                                                  key=ek)):
+            x = batch["imgs"]
+            if config.aug:
+                x = augment_batch(jax.random.fold_in(ek, bi), x)
+            params, bn_state, opt_state, loss = train_step(
+                params, bn_state, opt_state, x, lr)
+            losses.append(loss)
+        loss_epoch = float(jnp.mean(jnp.stack(losses)))
+        history["loss"].append(loss_epoch)
+
+        metrics, _ = evaluate_zy3(eval_batch, params, bn_state, test_ds,
+                                  config.batch_sz)
+        history["eval"][epoch] = metrics
+        line = ("%s===Epoch: %04d, Training loss: %.2E, lr: %.2E,"
+                "miou %.4f acc %.4f" % (config.model_name, epoch, loss_epoch,
+                                        lr, metrics["miou"], metrics["acc"]))
+        if log:
+            print(line)
+            logging.info(line)
+
+        if epoch == config.epoch_nums - 1 or epoch in config.save_epochs:
+            path = os.path.join(config.out_root,
+                                f"{config.model_name}_epoch{epoch}_{mark}.npz")
+            save_checkpoint(path, params, bn_state, epoch)
+            if log:
+                logging.info("Saved checkpoint: %s", path)
+
+    return params, bn_state, history

@@ -1,0 +1,74 @@
+"""ZY-3 / NAU / two-stage workload slices on tiny synthetic data."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from onet_tpu.data.zy3 import synthesize_zy3
+from onet_tpu.data.nau import synthesize_nau_rain
+from onet_tpu.data.augment import augment_batch
+from onet_tpu.models.onet import onet_init
+from onet_tpu.train.zy3 import Zy3Config, train as train_zy3, make_zy3_eval, evaluate_zy3
+from onet_tpu.train.nau import test_naurain as naurain_transfer_eval
+from onet_tpu.train.two_stage import make_two_stage_eval, verify_two_stage
+from onet_tpu.data.arrays import ArrayDataset
+
+
+def test_synthetic_zy3_shapes():
+    ds, ids = synthesize_zy3(jax.random.key(0), n=4, size=64)
+    assert ds["imgs"].shape == (4, 64, 64, 3)
+    assert ds["labels"].shape == (4, 64, 64)
+    frac = float(ds["labels"].mean())
+    assert 0.2 < frac < 0.5
+    assert len(ids) == 4
+
+
+def test_augment_batch_preserves_shape_and_range():
+    ds, _ = synthesize_zy3(jax.random.key(1), n=4, size=64)
+    out = augment_batch(jax.random.key(2), ds["imgs"])
+    assert out.shape == ds["imgs"].shape
+    assert float(out.min()) >= 0 and float(out.max()) <= 1
+    # stochastic: at least one frame must differ from the input
+    assert not np.allclose(np.asarray(out), np.asarray(ds["imgs"]))
+
+
+def test_zy3_training_slice(tmp_path):
+    train_ds, _ = synthesize_zy3(jax.random.key(3), n=8, size=64)
+    test_full, _ = synthesize_zy3(jax.random.key(4), n=4, size=64)
+    cfg = Zy3Config(epoch_nums=3, batch_sz=4, input_sz=64, base_channels=8,
+                    base_lr=2e-4, out_root=str(tmp_path), save_epochs=())
+    params, bn, history = train_zy3(cfg, train_ds, test_full, log=False)
+    assert len(history["loss"]) == 3
+    assert np.isfinite(history["loss"]).all()
+    m = history["eval"][2]
+    assert {"acc", "miou", "dr", "far", "test_loss"} <= set(m)
+
+
+def test_nau_transfer_eval():
+    ds, _ = synthesize_nau_rain(jax.random.key(5), n=4, size=64)
+    params, bn = onet_init(jax.random.key(6), 1, base=8)
+    out = naurain_transfer_eval(params, bn, ds, batch_sz=2)
+    for k in ("acc", "miou", "dr", "far", "tiou",
+              "input_psnr", "input_snr", "fg_psnr", "fg_snr"):
+        assert np.isfinite(out[k]), (k, out[k])
+
+
+def test_two_stage_composition():
+    ds, _ = synthesize_nau_rain(jax.random.key(7), n=4, size=64)
+    p1, b1 = onet_init(jax.random.key(8), 1, base=8)
+    p2, b2 = onet_init(jax.random.key(9), 1, base=8)
+    report = verify_two_stage(p1, b1, p2, b2, {0: ds, 5: ds}, batch_sz=2)
+    assert set(report) == {0, 5, "ave"}
+    for stage in ("stage1", "stage2"):
+        assert 0 <= report["ave"][stage]["acc"] <= 1
+
+
+def test_zy3_eval_per_image_lengths():
+    ds, ids = synthesize_zy3(jax.random.key(10), n=6, size=64)
+    params, bn = onet_init(jax.random.key(11), 3, base=8)
+    eval_batch = make_zy3_eval()
+    mean, per_img = evaluate_zy3(eval_batch, params, bn, ds, batch_sz=4)
+    assert len(per_img["acc"]) == 6
+    assert 0 <= mean["acc"] <= 1 and np.isfinite(mean["test_loss"])
