@@ -18,8 +18,7 @@ Behavior parity with the reference metric bundle (utils_20231218.py):
 * ``align_labels_hungarian`` — reorder_segmentation (:360-375). For K=2 the
   Hungarian assignment over the confusion matrix reduces exactly to
   "identity unless the swap has more agreement" (2x2 assignment = keep or
-  swap); scipy's linear_sum_assignment keeps identity on ties, so we use
-  a strict > comparison on the swapped trace. No host scipy round-trip —
+  swap), with identity kept on exact ties. No host scipy round-trip —
   this ran on CPU every epoch in the reference (a per-epoch host sync the
   TPU build eliminates).
 * ``psnr_snr``            — get_psnr peak/region SNR (:236-256)
@@ -135,3 +134,52 @@ def psnr_snr(img: jnp.ndarray, label: jnp.ndarray):
     psnr = 10.0 * jnp.log10(jnp.square(peak) / erc)
     snr = 10.0 * jnp.log10(p_t / erc)
     return psnr, snr
+
+
+def reorder_by_intensity(pred: jnp.ndarray, echos: jnp.ndarray,
+                         num_k: int = 2) -> jnp.ndarray:
+    """Intensity-ranked label reordering (reference reorder_pred_label,
+    utils_20231218.py:287-313): rank the predicted regions by summed echo
+    intensity; least-intense region -> 0 (background), most-intense -> 1
+    (sea clutter), and for num_k == 3 the middle region -> 2 (object)."""
+    sums = jnp.stack([jnp.sum(jnp.where(pred == c, echos, 0.0))
+                      for c in range(num_k)])
+    order = jnp.argsort(sums)  # ascending region intensity
+    out = jnp.zeros_like(pred)
+    out = jnp.where(pred == order[0], 0, out)
+    if num_k == 2:
+        out = jnp.where(pred == order[1], 1, out)
+    elif num_k == 3:
+        out = jnp.where(pred == order[2], 1, out)
+        out = jnp.where(pred == order[1], 2, out)
+    else:
+        raise ValueError(num_k)
+    return out
+
+
+def reorder_by_mean_intensity(pred: jnp.ndarray,
+                              echos: jnp.ndarray) -> jnp.ndarray:
+    """Binary flip by REGION MEAN intensity (reorder_pred_label_v2,
+    utils_20231218.py:194-211): if predicted-background pixels are on
+    average brighter than predicted-foreground ones, swap the labels."""
+    n0 = jnp.maximum(jnp.sum(pred == 0), 1)
+    n1 = jnp.maximum(jnp.sum(pred == 1), 1)
+    m0 = jnp.sum(jnp.where(pred == 0, echos, 0.0)) / n0
+    m1 = jnp.sum(jnp.where(pred == 1, echos, 0.0)) / n1
+    return jnp.where(m0 > m1, 1 - pred, pred)
+
+
+def evaluate_with_intensity_reorder(pred: jnp.ndarray, target: jnp.ndarray,
+                                    echos: jnp.ndarray, num_k: int = 3):
+    """Legacy 3-class radar eval (evaluate_nau_segmentation,
+    utils_20231218.py:316-358): rank regions by intensity, coarsely merge
+    the middle 'object' region into sea clutter, then score acc / miou."""
+    sums = jnp.stack([jnp.sum(jnp.where(pred == c, echos, 0.0))
+                      for c in range(num_k)])
+    order = jnp.argsort(sums)
+    out = jnp.zeros_like(pred)
+    out = jnp.where(pred == order[0], 0, out)
+    out = jnp.where(pred == order[num_k - 1], 1, out)
+    if num_k == 3:
+        out = jnp.where(pred == order[1], 1, out)  # object -> sea clutter
+    return accuracy(out, target), miou(out, target)

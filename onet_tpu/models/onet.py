@@ -126,3 +126,21 @@ def compute_loss(out: OnetOutput) -> jnp.ndarray:
     jsd_top = jsd(ct, st, sd)
     jsd_dwn = jsd(cd, sd, st)
     return -(jsd_top + jsd_dwn) / 2.0
+
+
+def get_label(vt: jnp.ndarray, vd: jnp.ndarray):
+    """Re-softmax raw projection maps into (labels, probabilities) — the
+    no-grad Onet.get_label path (Onet_vanilla_20240606.py:204-219)."""
+    s = jax.nn.softmax(jnp.stack([vt, vd], axis=-1), axis=-1)
+    return jnp.argmax(s, axis=-1), s
+
+
+def determine_fg_mark(pred: jnp.ndarray, labels: jnp.ndarray) -> str:
+    """Which branch carries the foreground, decided on one labelled batch
+    (assign_fg_mark, uti_zy3_test_20240123.py:99-149): 'top' if the raw
+    argmax already agrees with the Hungarian-aligned labels, else 'down'.
+    Returns a host-side string — called once outside jit."""
+    from onet_tpu.metrics.segmentation import align_labels_hungarian
+
+    aligned = align_labels_hungarian(pred, labels)
+    return "top" if bool(jnp.all(pred == aligned)) else "down"

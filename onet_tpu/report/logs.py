@@ -62,3 +62,37 @@ def mine_epoch_metrics(log_path: str) -> List[Dict[str, float]]:
                     "tiou": float(tiou), "dr": float(dr), "far": float(far),
                 })
     return rows
+
+
+def dr_far_curve(rows: List[Dict[str, float]]):
+    """(dr_list, far_list) from mined epoch rows — the reference's
+    get_dr_far_list_from_log output used for Pd/FAR curves."""
+    return [r["dr"] for r in rows], [r["far"] for r in rows]
+
+
+def average_pd_by_far_decade(rows: List[Dict[str, float]]) -> Dict[int, float]:
+    """Mean detection rate binned by floor(log10(far)) — the reference's
+    compute_ave_pd_in_order_of_magnitude (uti_zy3_test_20240123.py:751-771)."""
+    import math
+
+    bins: Dict[int, List[float]] = {}
+    for r in rows:
+        far = r["far"]
+        if far <= 0:
+            continue
+        decade = int(math.floor(math.log10(far)))
+        bins.setdefault(decade, []).append(r["dr"])
+    return {d: sum(v) / len(v) for d, v in sorted(bins.items())}
+
+
+def format_latex_table(rows: List[Dict[str, float]],
+                       keys=("acc", "miou", "dr", "far")) -> str:
+    """Metric rows -> a LaTeX tabular body (reference format_latex_table)."""
+    lines = [" & ".join(keys) + r" \\"]
+    for r in rows:
+        cells = []
+        for k in keys:
+            v = r.get(k, float("nan"))
+            cells.append("%.2E" % v if k == "far" else "%.4f" % v)
+        lines.append(" & ".join(cells) + r" \\")
+    return "\n".join(lines)

@@ -1,0 +1,145 @@
+"""Unified CLI for the workloads.
+
+The reference's entry points are per-script ``python Train_Onet_on_*.py``
+with hard-coded paths; here one CLI drives every workload from the YAML
+config (same schema):
+
+  python -m onet_tpu.run simclutter [--config path.yml] [--epochs N]
+  python -m onet_tpu.run zy3        [--train-file x.pt --test-file y.pt]
+  python -m onet_tpu.run nau        [--model ckpt.npz --test-file z.pt]
+  python -m onet_tpu.run gen-data   [--out rayleigh.npz]
+  python -m onet_tpu.run bench
+
+Workloads fall back to device-synthesized data when the reference .pt
+files are not on disk, so every command runs out of the box on a TPU VM.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--config", default=os.path.join(
+        os.path.dirname(__file__), "configs", "onet.yml"))
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-sz", type=int, default=None)
+    p.add_argument("--out-root", type=str, default=None)
+    p.add_argument("--base-channels", type=int, default=64)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--fp32", dest="bf16", action="store_false")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="onet_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name in ("simclutter", "zy3", "nau", "gen-data", "bench"):
+        p = sub.add_parser(name)
+        _add_common(p)
+        if name == "zy3":
+            p.add_argument("--train-file", default=None)
+            p.add_argument("--test-file", default=None)
+        if name == "nau":
+            p.add_argument("--model", default=None)
+            p.add_argument("--test-file", default=None)
+        if name == "gen-data":
+            p.add_argument("--out", default="rayleigh_dataset.npz")
+    args = parser.parse_args(argv)
+
+    from onet_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    from onet_tpu.core.config import generate_config
+    from onet_tpu.core.policy import BF16_COMPUTE, DEFAULT
+
+    policy = BF16_COMPUTE if args.bf16 else DEFAULT
+
+    if args.cmd == "bench":
+        import bench
+        bench.main()
+        return
+
+    if args.cmd == "gen-data":
+        from onet_tpu.sim.rayleigh import generate_rayleigh_dataset
+        d = generate_rayleigh_dataset(jax.random.key(1981))
+        np.savez(args.out, **{k: np.asarray(v) for k, v in d.items()})
+        print(f"saved {args.out}: imgs {d['imgs'].shape}")
+        return
+
+    if args.cmd == "simclutter":
+        cfg_yaml = generate_config(args.config, "Rayleigh", argv=[])
+        from onet_tpu.train.simclutter import SimclutterConfig, train
+        cfg = SimclutterConfig(
+            model_name=cfg_yaml.model_name,
+            epoch_nums=args.epochs or cfg_yaml.epoch_nums,
+            batch_sz=args.batch_sz or cfg_yaml.batch_sz,
+            input_sz=cfg_yaml.input_sz,
+            low_snr=getattr(cfg_yaml, "low_snr", 0),
+            high_snr=getattr(cfg_yaml, "high_snr", 2),
+            base_lr=float(getattr(cfg_yaml, "base_lr", 5e-6)),
+            out_root=args.out_root or cfg_yaml.out_root,
+            base_channels=args.base_channels,
+        )
+        train(cfg, policy=policy)
+        return
+
+    if args.cmd == "zy3":
+        cfg_yaml = generate_config(args.config, "zy3", argv=[])
+        from onet_tpu.train.zy3 import Zy3Config, train
+        from onet_tpu.data.zy3 import load_zy3_dict_pt, synthesize_zy3
+        train_file = args.train_file or os.path.join(
+            cfg_yaml.dataset_root, cfg_yaml.train_file)
+        test_file = args.test_file or os.path.join(
+            cfg_yaml.dataset_root, cfg_yaml.test_file)
+        if os.path.exists(train_file) and os.path.exists(test_file):
+            train_ds, _ = load_zy3_dict_pt(train_file)
+            test_ds, _ = load_zy3_dict_pt(test_file)
+        else:
+            print("[zy3] reference .pt files not found - using synthetic scenes")
+            train_ds, _ = synthesize_zy3(jax.random.key(0), n=64)
+            test_ds, _ = synthesize_zy3(jax.random.key(1), n=16)
+        cfg = Zy3Config(
+            model_name=cfg_yaml.model_name,
+            epoch_nums=args.epochs or cfg_yaml.epoch_nums,
+            batch_sz=args.batch_sz or cfg_yaml.batch_sz,
+            aug=bool(cfg_yaml.aug),
+            base_lr=float(getattr(cfg_yaml, "base_lr", 1e-4)),
+            out_root=args.out_root or cfg_yaml.out_root,
+            base_channels=args.base_channels,
+        )
+        train(cfg, train_ds, test_ds, policy=policy)
+        return
+
+    if args.cmd == "nau":
+        cfg_yaml = generate_config(args.config, "naurain", argv=[])
+        from onet_tpu.train.nau import test_naurain
+        from onet_tpu.data.nau import load_nau_dict_pt, synthesize_nau_rain
+        from onet_tpu.models.onet import onet_init
+        from onet_tpu.core.checkpoint import load_checkpoint
+        test_file = args.test_file or os.path.join(
+            cfg_yaml.dataset_root, cfg_yaml.load_test_file)
+        if os.path.exists(test_file):
+            ds, _ = load_nau_dict_pt(test_file)
+        else:
+            print("[nau] radar .pt not found - using synthetic rain frames")
+            ds, _ = synthesize_nau_rain(jax.random.key(0), n=10)
+        params, bn = onet_init(jax.random.key(1981), 1,
+                               base=args.base_channels)
+        model = args.model or cfg_yaml.model_file
+        if model and os.path.exists(model):
+            params, bn, _ = load_checkpoint(model, params, bn)
+            print(f"[nau] loaded {model}")
+        else:
+            print("[nau] no checkpoint - evaluating a fresh model")
+        out = test_naurain(params, bn, ds, batch_sz=cfg_yaml.batch_sz,
+                           policy=policy)
+        print({k: round(float(v), 4) for k, v in out.items()})
+        return
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Per-SNR training/evaluation sweeps and checkpoint-directory verification.
+
+Reference counterparts (Train_Onet_on_simclutter_20250407.py):
+* ``train_by_snr``          — train_onet_by_snr (:456-479): train a fresh
+  copy of the same init per PSNR level, then verify across all levels;
+* ``test_by_snr``           — test_onet_by_snr / verify_onet_simclutter
+  (:420-454,480-510): per-PSNR metric dict with an 'ave' row;
+* ``verify_checkpoint_dir`` — test_model_performance (:512-524): glob a
+  checkpoint directory, load each model, run the per-PSNR sweep.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Optional
+
+import jax
+
+from onet_tpu.core.checkpoint import load_checkpoint
+from onet_tpu.core.policy import Policy, DEFAULT
+from onet_tpu.data.simclutter import simclutter_datasets
+from onet_tpu.models.onet import onet_init
+from onet_tpu.train.simclutter import SimclutterConfig, train, evaluate
+from onet_tpu.train.steps import make_eval_step
+from onet_tpu.train.two_stage import verify_single_stage
+
+
+def per_snr_datasets(key, levels=range(0, 11), frames_per_level: int = 150,
+                     crop: int = 224):
+    """{psnr: full ArrayDataset} for sweep evaluation (no train split)."""
+    out = {}
+    for lvl in levels:
+        tr, te = simclutter_datasets(jax.random.fold_in(key, 1000 + lvl),
+                                     low_snr=lvl, high_snr=lvl,
+                                     train_frac=1.0,
+                                     frames_per_level=frames_per_level,
+                                     crop=crop)
+        out[lvl] = tr
+    return out
+
+
+def test_by_snr(params, bn_state, datasets_by_psnr, *, batch_sz: int = 10,
+                policy: Policy = DEFAULT) -> Dict:
+    eval_step = make_eval_step(policy=policy, align="flip")
+    return verify_single_stage(eval_step, params, bn_state,
+                               datasets_by_psnr, batch_sz)
+
+
+def train_by_snr(base_config: SimclutterConfig, *, levels=range(0, 11),
+                 policy: Policy = DEFAULT) -> Dict:
+    """Train an identically-initialized model per PSNR level; returns
+    {psnr: (params, bn_state, history)}. The same seed re-initializes each
+    level (reference reloads init_param_dict, :464,474)."""
+    results = {}
+    for lvl in levels:
+        import dataclasses
+        cfg = dataclasses.replace(
+            base_config, low_snr=lvl, high_snr=lvl,
+            out_root=os.path.join(base_config.out_root, f"onet_snr_{lvl:02d}"))
+        results[lvl] = train(cfg, policy=policy, log=False)
+    return results
+
+
+def verify_checkpoint_dir(model_root: str, *, in_channels: int = 1,
+                          base_channels: int = 64, datasets_by_psnr=None,
+                          batch_sz: int = 10, policy: Policy = DEFAULT) -> Dict:
+    """Evaluate every .npz checkpoint in a directory across all PSNR levels."""
+    files = sorted(glob.glob(os.path.join(model_root, "*.npz")))
+    template_p, template_s = onet_init(jax.random.key(0), in_channels,
+                                       base=base_channels)
+    if datasets_by_psnr is None:
+        datasets_by_psnr = per_snr_datasets(jax.random.key(7))
+    report = {}
+    for f in files:
+        params, bn_state, epoch = load_checkpoint(f, template_p, template_s)
+        report[os.path.basename(f)] = {
+            "epoch": epoch,
+            "per_snr": test_by_snr(params, bn_state, datasets_by_psnr,
+                                   batch_sz=batch_sz, policy=policy),
+        }
+    return report

@@ -47,3 +47,41 @@ def test_dryrun_multichip(n):
         pytest.skip("needs virtual device mesh")
     import __graft_entry__ as g
     g.dryrun_multichip(n)
+
+
+def test_log_mining_extras(tmp_path):
+    from onet_tpu.report.logs import (dr_far_curve, average_pd_by_far_decade,
+                                      format_latex_table)
+    rows = [{"epoch": i, "loss": -1.0, "lr": 1e-5, "acc": 0.9, "miou": 0.8,
+             "tiou": 0.5, "dr": 0.7 + 0.01 * i, "far": 10.0 ** (-i - 1)}
+            for i in range(4)]
+    drs, fars = dr_far_curve(rows)
+    assert len(drs) == 4 and fars[0] == 0.1
+    binned = average_pd_by_far_decade(rows)
+    assert set(binned) == {-1, -2, -3, -4}
+    tex = format_latex_table(rows)
+    assert tex.count("\\\\") == 5 and "0.9000" in tex
+
+
+def test_utils_summary():
+    import jax as _jax
+    from onet_tpu.models.onet import onet_init
+    from onet_tpu.utils import (count_parameters, model_summary,
+                                parameter_statistics, compare_parameter_trees)
+    p, s = onet_init(_jax.random.key(0), 1, base=8)
+    assert 0.1 < count_parameters(p) < 2.0
+    rows = model_summary(p, input_hw=(64, 64), in_channels=1)
+    assert rows[-1]["name"] == "TOTAL"
+    assert rows[-1]["params"] == int(count_parameters(p) * 1e6)
+    stats = parameter_statistics(p)
+    assert all("mean" in v for v in stats.values())
+    assert compare_parameter_trees(p, p) == []
+
+
+def test_full_size_param_count_matches_reference():
+    """The reference weight-shared Onet is ~31M params (SURVEY.md 2.1)."""
+    import jax as _jax
+    from onet_tpu.models.onet import onet_init
+    from onet_tpu.utils import count_parameters
+    p, _ = onet_init(_jax.random.key(0), 1)
+    assert abs(count_parameters(p) - 31.04) < 0.1

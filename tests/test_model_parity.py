@@ -137,3 +137,18 @@ def test_grad_parity(pair):
     jgrad = np.asarray(g["top"]["inc"]["conv1"]["w"])
     denom = np.abs(tgrad).max() + 1e-12
     assert np.abs(jgrad - tgrad).max() / denom < 5e-3
+
+
+def test_bn_folded_inference_matches_eval(pair):
+    from onet_tpu.models.infer import fold_onet, onet_infer
+    from onet_tpu.models import onet_forward, predict_label
+    from onet_tpu.core.policy import DEFAULT
+    import jax.numpy as jnp
+    _, params, state, x = pair
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    out, _ = onet_forward(params, state, xj, train=False)
+    folded = fold_onet(params, state)
+    s, labels = onet_infer(folded, xj, policy=DEFAULT)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(out.S), atol=2e-3)
+    agree = np.mean(np.asarray(labels) == np.asarray(predict_label(out.S)))
+    assert agree >= 0.99

@@ -1,0 +1,71 @@
+"""Per-SNR sweeps, checkpoint-dir verification, and the CLI surface."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from onet_tpu.models.onet import onet_init
+from onet_tpu.core.checkpoint import save_checkpoint
+from onet_tpu.train.sweeps import per_snr_datasets, verify_checkpoint_dir
+from onet_tpu.train.sweeps import test_by_snr as snr_sweep_eval
+
+
+@pytest.fixture(scope="module")
+def tiny_sweep_data():
+    return per_snr_datasets(jax.random.key(0), levels=(2, 8),
+                            frames_per_level=4, crop=64)
+
+
+def test_snr_sweep_eval(tiny_sweep_data):
+    params, bn = onet_init(jax.random.key(1), 1, base=8)
+    report = snr_sweep_eval(params, bn, tiny_sweep_data, batch_sz=2)
+    assert set(report) == {2, 8, "ave"}
+    assert 0 <= report["ave"]["acc"] <= 1
+
+
+def test_verify_checkpoint_dir(tiny_sweep_data, tmp_path):
+    params, bn = onet_init(jax.random.key(2), 1, base=8)
+    save_checkpoint(str(tmp_path / "m_epoch_5.npz"), params, bn, 5)
+    report = verify_checkpoint_dir(str(tmp_path), base_channels=8,
+                                   datasets_by_psnr=tiny_sweep_data,
+                                   batch_sz=2)
+    assert "m_epoch_5.npz" in report
+    assert report["m_epoch_5.npz"]["epoch"] == 5
+    assert "ave" in report["m_epoch_5.npz"]["per_snr"]
+
+
+def test_cli_gen_data(tmp_path, monkeypatch):
+    from onet_tpu import run as cli
+    out = tmp_path / "tiny.npz"
+    # shrink the generator via monkeypatching the dataset call
+    import onet_tpu.sim.rayleigh as R
+
+    original = R.generate_rayleigh_dataset
+
+    def tiny_gen(key):
+        return original(key, levels=(5,), frames_per_level=2, crop=64)
+
+    monkeypatch.setattr("onet_tpu.sim.rayleigh.generate_rayleigh_dataset",
+                        tiny_gen)
+    cli.main(["gen-data", "--out", str(out)])
+    with np.load(out) as z:
+        assert z["imgs"].shape == (2, 64, 64, 1)
+        assert z["psnr"].tolist() == [5, 5]
+
+
+def test_cli_nau_synthetic(capsys, monkeypatch):
+    from onet_tpu import run as cli
+    import onet_tpu.data.nau as N
+
+    real = N.synthesize_nau_rain
+
+    def tiny(key, n=10, size=200, **kw):
+        return real(key, n=4, size=64)
+
+    monkeypatch.setattr("onet_tpu.data.nau.synthesize_nau_rain", tiny)
+    cli.main(["nau", "--base-channels", "8", "--fp32"])
+    out = capsys.readouterr().out
+    assert "'acc'" in out
