@@ -66,8 +66,14 @@ def main(argv=None):
     if args.cmd == "gen-data":
         from onet_tpu.sim.rayleigh import generate_rayleigh_dataset
         d = generate_rayleigh_dataset(jax.random.key(1981))
-        np.savez(args.out, **{k: np.asarray(v) for k, v in d.items()})
-        print(f"saved {args.out}: imgs {d['imgs'].shape}")
+        arrays = {k: np.asarray(v) for k, v in d.items()}
+        if args.out.endswith(".ts"):
+            from onet_tpu.data.tilestore import save_store
+            written = save_store(args.out, arrays)
+        else:
+            np.savez(args.out, **arrays)
+            written = args.out
+        print(f"saved {written}: imgs {d['imgs'].shape}")
         return
 
     if args.cmd == "simclutter":
