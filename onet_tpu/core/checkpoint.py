@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 from datetime import datetime
-from typing import Any, Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -11,9 +11,7 @@ pipeline costs ~0 and never syncs the host.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, Optional
-
-import numpy as np
+from typing import Dict, Iterator
 
 import jax
 import jax.numpy as jnp

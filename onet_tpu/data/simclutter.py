@@ -15,7 +15,7 @@ Both paths re-apply the loader's per-frame min-max normalization
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

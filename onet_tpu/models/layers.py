@@ -26,7 +26,6 @@ because the reference's init loop only matches nn.Conv2d).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -44,8 +44,6 @@ Backward (per pixel), with s'(x) = sigmoid(x):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

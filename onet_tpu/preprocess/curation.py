@@ -25,12 +25,10 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from onet_tpu.data.arrays import ArrayDataset
-from onet_tpu.metrics.segmentation import (
-    align_labels_hungarian, accuracy, miou)
+from onet_tpu.metrics.segmentation import accuracy, miou
 from onet_tpu.models.onet import onet_forward, predict_label
 from onet_tpu.preprocess.image import PRE_OPTIONS, apply_pre_option
 

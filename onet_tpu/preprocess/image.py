@@ -17,8 +17,6 @@ integer semantics) and hands float arrays to the jax dehaze ops.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 import jax

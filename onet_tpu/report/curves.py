@@ -9,7 +9,7 @@ Reference equivalents: the loss/metric curve figures
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -17,7 +17,7 @@ import logging
 import os
 import re
 from datetime import datetime
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 def setup_logging(out_root: str, model_name: str) -> str:

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 
 import numpy as np
 
@@ -37,7 +36,7 @@ def _add_common(p):
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="onet_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
-    for name in ("simclutter", "zy3", "nau", "gen-data", "bench"):
+    for name in ("simclutter", "zy3", "nau", "gen-data", "bench", "sweep"):
         p = sub.add_parser(name)
         _add_common(p)
         if name == "zy3":
@@ -48,6 +47,10 @@ def main(argv=None):
             p.add_argument("--test-file", default=None)
         if name == "gen-data":
             p.add_argument("--out", default="rayleigh_dataset.npz")
+        if name == "sweep":
+            p.add_argument("--model", default=None,
+                           help=".npz checkpoint (fresh init if absent)")
+            p.add_argument("--frames-per-level", type=int, default=150)
     args = parser.parse_args(argv)
 
     from onet_tpu.core.cache import enable_compilation_cache
@@ -74,6 +77,29 @@ def main(argv=None):
             np.savez(args.out, **arrays)
             written = args.out
         print(f"saved {written}: imgs {d['imgs'].shape}")
+        return
+
+    if args.cmd == "sweep":
+        # per-PSNR verification (verify_onet_simclutter equivalent)
+        from onet_tpu.train.sweeps import per_snr_datasets, test_by_snr
+        from onet_tpu.models.onet import onet_init
+        from onet_tpu.core.checkpoint import load_checkpoint
+        params, bn = onet_init(jax.random.key(1981), 1,
+                               base=args.base_channels)
+        if args.model and os.path.exists(args.model):
+            params, bn, _ = load_checkpoint(args.model, params, bn)
+            print(f"[sweep] loaded {args.model}")
+        data = per_snr_datasets(jax.random.key(7),
+                                frames_per_level=args.frames_per_level)
+        report = test_by_snr(params, bn, data, policy=policy)
+        for psnr in sorted(k for k in report if k != "ave"):
+            m = report[psnr]
+            print("psnr:%02d, acc:%.4f, miou:%.4f, tiou:%.4f, dr:%.4f, far:%.4f"
+                  % (psnr, m["acc"], m["miou"], m["tiou"], m["dr"], m["far"]))
+        a = report["ave"]
+        print("PSNR0-10, ave_acc:%.4f, ave_miou:%.4f, ave_tiou:%.4f, "
+              "ave_dr:%.4f, ave_far:%.4f"
+              % (a["acc"], a["miou"], a["tiou"], a["dr"], a["far"]))
         return
 
     if args.cmd == "simclutter":

@@ -16,10 +16,6 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
-import time
-from typing import Optional
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -130,4 +126,11 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
             if log:
                 logging.info("Saved checkpoint at epoch %d: %s", epoch, path)
 
+    if log:
+        from onet_tpu.report.curves import save_training_curves
+
+        save_training_curves(
+            os.path.join(config.out_root,
+                         f"{config.model_name}_train_loss_{mark}.png"),
+            history["loss"], history["eval"])
     return params, bn_state, history

@@ -10,11 +10,7 @@ training the reference lacks (SURVEY.md section 2.10).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 
 from onet_tpu.core.mesh import batch_sharding, replicated
 from onet_tpu.core.policy import Policy, DEFAULT

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 
@@ -21,7 +21,7 @@ from onet_tpu.core.checkpoint import load_checkpoint
 from onet_tpu.core.policy import Policy, DEFAULT
 from onet_tpu.data.simclutter import simclutter_datasets
 from onet_tpu.models.onet import onet_init
-from onet_tpu.train.simclutter import SimclutterConfig, train, evaluate
+from onet_tpu.train.simclutter import SimclutterConfig, train
 from onet_tpu.train.steps import make_eval_step
 from onet_tpu.train.two_stage import verify_single_stage
 

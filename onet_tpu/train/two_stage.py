@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from onet_tpu.core.policy import Policy, DEFAULT
-from onet_tpu.data.arrays import ArrayDataset, batch_iterator
+from onet_tpu.data.arrays import batch_iterator
 from onet_tpu.metrics.segmentation import (
     align_labels_by_accuracy, evaluate_binary_segmentation)
 from onet_tpu.models.onet import onet_forward, predict_label

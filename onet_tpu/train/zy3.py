@@ -147,4 +147,11 @@ def train(config: Zy3Config, train_ds: ArrayDataset, test_ds: ArrayDataset,
             if log:
                 logging.info("Saved checkpoint: %s", path)
 
+    if log:
+        from onet_tpu.report.curves import save_training_curves
+
+        save_training_curves(
+            os.path.join(config.out_root,
+                         f"{config.model_name}_train_loss_{mark}.png"),
+            history["loss"], history["eval"])
     return params, bn_state, history
