@@ -80,3 +80,38 @@ def synthesize_zy3(key, n: int = 16, size: int = 224,
     ds = ArrayDataset({"imgs": imgs, "labels": masks})
     ids = [f"zy3_syn_{i:04d}" for i in range(n)]
     return ds, ids
+
+
+def split_snow_mask(labels: jnp.ndarray):
+    """3-valued ZY-3 masks -> (cloud_mask, snow_mask) float maps.
+
+    Reference Snow_CloudDataset_Supervised splits mask==1 (cloud) and
+    mask==2 (snow) into separate supervision channels
+    (dataloader/zy3_cloud_thumbnailv5_20240304.py:199-203).
+    """
+    return ((labels == 1).astype(jnp.float32),
+            (labels == 2).astype(jnp.float32))
+
+
+def synthesize_cloud_addition(key, n: int = 8, size: int = 224,
+                              cloud_cover: float = 0.35):
+    """Cloud-addition composites: cloudless bright terrain + synthetic
+    clouds (reference CloudDataset_CloudAddition, :262-309). Returns an
+    ArrayDataset{terrain, imgs, labels} and ids — 'imgs' is the composite
+    ('true_color'), 'terrain' the clean background."""
+
+    def one(k):
+        kt, kc, ktint = jax.random.split(k, 3)
+        base = _smooth_noise(kt, (size, size), 0.04)
+        tint = jax.random.uniform(ktint, (3,), minval=0.3, maxval=0.8)
+        terrain = jnp.clip(base[..., None] * tint[None, None, :] + 0.2, 0, 1)
+        cl = _smooth_noise(kc, (size, size), 0.02)
+        thresh = jnp.quantile(cl, 1.0 - cloud_cover)
+        mask = (cl > thresh).astype(jnp.float32)
+        alpha = jnp.clip((cl - thresh) / 0.12, 0.0, 1.0)[..., None]
+        composite = jnp.clip(terrain * (1 - alpha) + alpha * 0.95, 0, 1)
+        return terrain, composite, mask
+
+    terrain, imgs, masks = jax.vmap(one)(jax.random.split(key, n))
+    ds = ArrayDataset({"terrain": terrain, "imgs": imgs, "labels": masks})
+    return ds, [f"zy3_add_{i:04d}" for i in range(n)]

@@ -58,3 +58,10 @@ def save_report(out_path: str, df: pd.DataFrame,
     if summary is not None:
         summary.to_csv(out_path[:-4] + "_summary.csv", index=False)
     return out_path
+
+
+def sort_results(rows, key: str = "acc", ascending: bool = True):
+    """Per-image result rows sorted by a metric (the reference's
+    print_sorted_results ordering for worst-case inspection)."""
+    return sorted(rows, key=lambda r: r.get(key, float("nan")),
+                  reverse=not ascending)

@@ -47,3 +47,22 @@ def cosine_warm_restarts(base_lr: float, epoch: int, *, t0: int = 300,
         t_cur -= t_i
         t_i *= t_mult
     return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * t_cur / t_i)) / 2
+
+
+def freeze_params(grads, frozen_fn):
+    """Zero the gradient of frozen leaves (the JAX analogue of the
+    reference's requires_grad toggles, Train_Onet_on_zy3_20240606.py:67-72).
+
+    ``frozen_fn(path_tuple) -> bool`` marks leaves to freeze; paths are
+    tuples of dict keys from the root.
+    """
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    treedef = jax.tree_util.tree_structure(grads)
+    leaves = []
+    for path, leaf in flat:
+        keys = tuple(str(getattr(p, "key", getattr(p, "idx", p)))
+                     for p in path)
+        leaves.append(jax.numpy.zeros_like(leaf) if frozen_fn(keys) else leaf)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -72,3 +72,26 @@ def test_zy3_eval_per_image_lengths():
     mean, per_img = evaluate_zy3(eval_batch, params, bn, ds, batch_sz=4)
     assert len(per_img["acc"]) == 6
     assert 0 <= mean["acc"] <= 1 and np.isfinite(mean["test_loss"])
+
+
+def test_snow_mask_split_and_cloud_addition():
+    from onet_tpu.data.zy3 import split_snow_mask, synthesize_cloud_addition
+    labels = jnp.asarray(np.array([[0, 1], [2, 1]], np.int32))
+    cloud, snow = split_snow_mask(labels)
+    np.testing.assert_array_equal(np.asarray(cloud), [[0, 1], [0, 1]])
+    np.testing.assert_array_equal(np.asarray(snow), [[0, 0], [1, 0]])
+    ds, ids = synthesize_cloud_addition(jax.random.key(0), n=3, size=32)
+    assert ds["terrain"].shape == (3, 32, 32, 3)
+    assert ds["imgs"].shape == (3, 32, 32, 3)
+    # composite is brighter than terrain inside cloud mask
+    m = np.asarray(ds["labels"][0]) > 0
+    assert np.asarray(ds["imgs"][0]).mean(-1)[m].mean() > \
+        np.asarray(ds["terrain"][0]).mean(-1)[m].mean()
+
+
+def test_freeze_params():
+    from onet_tpu.train.optim import freeze_params
+    g = {"top": {"inc": jnp.ones((2,)), "down1": jnp.ones((2,))}}
+    out = freeze_params(g, lambda path: "inc" in path)
+    assert float(out["top"]["inc"].sum()) == 0.0
+    assert float(out["top"]["down1"].sum()) == 2.0
