@@ -77,22 +77,25 @@ def channel_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def onet_forward(params, state, x, *, train: bool, bias: float = 0.0,
-                 policy: Policy = DEFAULT):
+                 policy: Policy = DEFAULT, reshard=None):
     """Forward pass on an NHWC batch in [0, 1]. Returns (OnetOutput, state)."""
     xd = complement(x, bias)
     if is_weight_shared(params):
         xx = jnp.concatenate([x, xd], axis=0)  # [2B, H, W, C]
         (loc, glob), new_top = unet_apply(params["top"], state["top"], xx,
-                                          train=train, groups=2, policy=policy)
+                                          train=train, groups=2, policy=policy,
+                                          reshard=reshard)
         b = x.shape[0]
         lt, ld = loc[:b], loc[b:]
         ht, hd = glob[:b], glob[b:]
         new_state = {"top": new_top}
     else:
         (lt, ht), new_top = unet_apply(params["top"], state["top"], x,
-                                       train=train, groups=1, policy=policy)
+                                       train=train, groups=1, policy=policy,
+                                       reshard=reshard)
         (ld, hd), new_dwn = unet_apply(params["down"], state["down"], xd,
-                                       train=train, groups=1, policy=policy)
+                                       train=train, groups=1, policy=policy,
+                                       reshard=reshard)
         new_state = {"top": new_top, "down": new_dwn}
 
     vt = channel_dot(lt.astype(jnp.float32), ht.astype(jnp.float32))

@@ -112,12 +112,19 @@ def _up(params, state, x, skip, *, train, groups, policy):
 
 
 def unet_apply(params, state, x, *, train: bool, groups: int = 1,
-               policy: Policy = DEFAULT):
+               policy: Policy = DEFAULT, reshard=None):
     """Run the U-Net on an NHWC batch.
 
     Returns ((local, glob), new_state): ``local`` is the 64-channel output
     of the input DoubleConv, ``glob`` the 64-channel final decoder output.
+
+    ``reshard(tag, x)`` (optional) lets the caller pin shardings under a
+    mesh: tag 'deep' marks the H/4-and-smaller levels (replicated over the
+    spatial mesh axis — GSPMD's spatially-partitioned conv backward loses
+    accuracy on few-row shards), tag 'shallow' restores the spatial
+    sharding for the big decoder levels. See train/steps.py.
     """
+    rs = reshard or (lambda tag, t: t)
     new_state = {}
     x1, new_state["inc"] = _double_conv(params["inc"], state["inc"], x,
                                         train=train, groups=groups, policy=policy)
@@ -125,6 +132,7 @@ def unet_apply(params, state, x, *, train: bool, groups: int = 1,
                                    train=train, groups=groups, policy=policy)
     x3, new_state["down2"] = _down(params["down2"], state["down2"], x2,
                                    train=train, groups=groups, policy=policy)
+    x3 = rs("deep", x3)
     x4, new_state["down3"] = _down(params["down3"], state["down3"], x3,
                                    train=train, groups=groups, policy=policy)
     x5, new_state["down4"] = _down(params["down4"], state["down4"], x4,
@@ -136,6 +144,7 @@ def unet_apply(params, state, x, *, train: bool, groups: int = 1,
                                train=train, groups=groups, policy=policy)
     y2, new_state["up3"] = _up(params["up3"], state["up3"], y3, x2,
                                train=train, groups=groups, policy=policy)
+    y2 = rs("shallow", y2)
     y1, new_state["up4"] = _up(params["up4"], state["up4"], y2, x1,
                                train=train, groups=groups, policy=policy)
     return (x1, y1), new_state

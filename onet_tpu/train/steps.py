@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import jax
 
-from onet_tpu.core.mesh import batch_sharding, replicated
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from onet_tpu.core.mesh import batch_sharding, replicated, DATA_AXIS, SPACE_AXIS
 from onet_tpu.core.policy import Policy, DEFAULT
 from onet_tpu.models.onet import onet_forward, compute_loss, predict_label
 from onet_tpu.train.optim import adam_update
@@ -23,16 +25,43 @@ from onet_tpu.metrics.segmentation import (
 )
 
 
+def _make_reshard(mesh, spatial: bool):
+    """Per-level sharding constraints for spatial partitioning: the large
+    shallow levels stay split over ('data','space'); the small deep levels
+    (H/4 and below) replicate the spatial axis.
+
+    STATUS (measured on the virtual mesh): spatial partitioning is EXACT in
+    the forward/inference path; GSPMD's conv/select_and_scatter BACKWARD
+    under spatial sharding is approximate (grad direction cos > 0.999 at
+    healthy >=4-row shards, corrupted at 1-row shards; replicating deep
+    levels mitigates). Training therefore defaults to pure data
+    parallelism; use spatial=True for inference over huge tiles or accept
+    documented-approximate grads. Exact spatial training needs
+    halo-exchange-aware custom kernels (ROADMAP.md)."""
+    if mesh is None or not spatial or SPACE_AXIS not in mesh.axis_names:
+        return None
+    deep = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+    shallow = NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS, None, None))
+
+    def rs(tag, x):
+        return jax.lax.with_sharding_constraint(
+            x, deep if tag == "deep" else shallow)
+
+    return rs
+
+
 def make_train_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
                     mesh=None, spatial: bool = False):
     """Build the jitted train step:
     (params, bn_state, opt_state, x, lr) -> (params, bn_state, opt_state, loss)
     """
+    reshard = _make_reshard(mesh, spatial)
 
     def train_step(params, bn_state, opt_state, x, lr):
         def loss_fn(p):
             out, new_bn = onet_forward(p, bn_state, x, train=True,
-                                       bias=bias, policy=policy)
+                                       bias=bias, policy=policy,
+                                       reshard=reshard)
             return compute_loss(out), new_bn
 
         (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -65,9 +94,11 @@ def make_eval_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
     Returns (metrics dict, loss, pred_labels).
     """
 
+    reshard = _make_reshard(mesh, spatial)
+
     def eval_step(params, bn_state, x, labels):
         out, _ = onet_forward(params, bn_state, x, train=False,
-                              bias=bias, policy=policy)
+                              bias=bias, policy=policy, reshard=reshard)
         loss = compute_loss(out)
         pred = predict_label(out.S)
         if align == "flip":
