@@ -12,10 +12,10 @@ Reference pipelines being covered:
 
 Design: one jitted `augment_batch` applied to the whole [B, H, W, C] batch
 per step; each frame draws its own op selector. Geometric warps use a
-bilinear affine sampler (gather-based, static shapes). Elastic/grid
-distortions are approximated by the affine + blur family — they serve the
-same regularization role for the unsupervised objective; documented
-deviation.
+bilinear sampler (gather-based, static shapes); elastic deformation uses a
+gaussian-smoothed random displacement field and grid distortion a
+piecewise-linear stretched coordinate map, both matching the albumentations
+semantics.
 """
 
 from __future__ import annotations
@@ -123,10 +123,18 @@ def _augment_one(key, img):
     img = jnp.where(jax.random.uniform(ks[4]) < 0.1,
                     random_snow(ks[5], img), img)
 
-    # defocus-ish blur p=0.1
-    sigma = jax.random.uniform(ks[6], (), minval=0.5, maxval=2.0)
-    img = jnp.where(jax.random.uniform(ks[7]) < 0.1,
-                    gaussian_blur(img, sigma), img)
+    # one-of distortion family p=0.1: elastic / grid / defocus blur
+    def distort(img):
+        kd = jax.random.fold_in(key, 55)
+        sel = jax.random.randint(jax.random.fold_in(kd, 1), (), 0, 3)
+        sigma = jax.random.uniform(ks[6], (), minval=0.5, maxval=2.0)
+        return lax.switch(sel, [
+            lambda x: elastic_warp(jax.random.fold_in(kd, 2), x),
+            lambda x: grid_distortion(jax.random.fold_in(kd, 3), x),
+            lambda x: gaussian_blur(x, sigma),
+        ], img)
+
+    img = jnp.where(jax.random.uniform(ks[7]) < 0.1, distort(img), img)
 
     # brightness/contrast p=0.1
     kbc, kp = jax.random.split(jax.random.fold_in(key, 99))
@@ -140,3 +148,47 @@ def augment_batch(key, imgs):
     """imgs: [B, H, W, C] in [0, 1] -> augmented, same shape."""
     keys = jax.random.split(key, imgs.shape[0])
     return jax.vmap(_augment_one)(keys, imgs)
+
+
+def elastic_warp(key, img, *, alpha: float = 120.0, sigma: float = 6.0):
+    """Elastic deformation (albumentations ElasticTransform semantics):
+    random unit displacement field, gaussian-smoothed with ``sigma``,
+    scaled by ``alpha`` pixels, applied with bilinear resampling."""
+    h, w, _ = img.shape
+    kx, ky = jax.random.split(key)
+    dx = jax.random.uniform(kx, (h, w), minval=-1.0, maxval=1.0)
+    dy = jax.random.uniform(ky, (h, w), minval=-1.0, maxval=1.0)
+    dx = gaussian_blur(dx[..., None], sigma, radius=int(2 * sigma))[..., 0]
+    dy = gaussian_blur(dy[..., None], sigma, radius=int(2 * sigma))[..., 0]
+    # normalize the smoothed field to unit max amplitude, then scale
+    norm = jnp.maximum(jnp.max(jnp.abs(dx)), jnp.max(jnp.abs(dy))) + 1e-6
+    dx = dx / norm * (alpha / 10.0)
+    dy = dy / norm * (alpha / 10.0)
+    yy = lax.broadcasted_iota(jnp.float32, (h, w), 0) + dy
+    xx = lax.broadcasted_iota(jnp.float32, (h, w), 1) + dx
+    return _bilinear_sample(img, yy, xx)
+
+
+def grid_distortion(key, img, *, num_steps: int = 5, limit: float = 0.3):
+    """Grid distortion (albumentations GridDistortion semantics): per-grid-
+    cell random stretch factors integrated into a monotone coordinate map."""
+    h, w, _ = img.shape
+    kx, ky = jax.random.split(key)
+
+    def axis_map(k, size):
+        steps = 1.0 + jax.random.uniform(k, (num_steps,),
+                                         minval=-limit, maxval=limit)
+        cell = size / num_steps
+        # cumulative cell boundaries under the stretched metric
+        stretched = jnp.concatenate([jnp.zeros((1,)),
+                                     jnp.cumsum(steps * cell)])
+        stretched = stretched / stretched[-1] * (size - 1)
+        # source coordinate for each destination pixel: piecewise-linear
+        # inverse of the stretch (dest grid is uniform)
+        dst = jnp.linspace(0.0, size - 1, num_steps + 1)
+        coords = jnp.arange(size, dtype=jnp.float32)
+        return jnp.interp(coords, stretched, dst)
+
+    src_y = axis_map(ky, h)[:, None] * jnp.ones((1, w))
+    src_x = axis_map(kx, w)[None, :] * jnp.ones((h, 1))
+    return _bilinear_sample(img, src_y, src_x)

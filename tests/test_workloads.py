@@ -95,3 +95,16 @@ def test_freeze_params():
     out = freeze_params(g, lambda path: "inc" in path)
     assert float(out["top"]["inc"].sum()) == 0.0
     assert float(out["top"]["down1"].sum()) == 2.0
+
+
+def test_elastic_and_grid_warps():
+    from onet_tpu.data.augment import elastic_warp, grid_distortion
+    ds, _ = synthesize_zy3(jax.random.key(12), n=1, size=64)
+    img = ds["imgs"][0]
+    for fn in (elastic_warp, grid_distortion):
+        out = np.asarray(fn(jax.random.key(1), img))
+        assert out.shape == img.shape
+        assert np.isfinite(out).all()
+        # a real warp moves mass but preserves the overall intensity scale
+        assert abs(out.mean() - float(img.mean())) < 0.15
+        assert not np.allclose(out, np.asarray(img))
