@@ -47,6 +47,8 @@ def main(argv=None):
             p.add_argument("--test-file", default=None)
         if name == "gen-data":
             p.add_argument("--out", default="rayleigh_dataset.npz")
+        if name == "simclutter":
+            p.add_argument("--frames-per-level", type=int, default=150)
         if name == "sweep":
             p.add_argument("--model", default=None,
                            help=".npz checkpoint (fresh init if absent)")
@@ -112,6 +114,7 @@ def main(argv=None):
             input_sz=cfg_yaml.input_sz,
             low_snr=getattr(cfg_yaml, "low_snr", 0),
             high_snr=getattr(cfg_yaml, "high_snr", 2),
+            frames_per_level=args.frames_per_level,
             base_lr=float(getattr(cfg_yaml, "base_lr", 5e-6)),
             out_root=args.out_root or cfg_yaml.out_root,
             base_channels=args.base_channels,
