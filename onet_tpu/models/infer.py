@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from onet_tpu.core.policy import Policy, BF16_COMPUTE
-from onet_tpu.models.layers import BN_EPS, max_pool_2x2, conv_transpose_2x2, relu
+from onet_tpu.models.layers import (
+    BN_EPS, max_pool_2x2, conv_transpose_2x2, relu, bd2, bd2_skip_up)
 from onet_tpu.models.onet import channel_dot, is_weight_shared
 from onet_tpu.ops.normalize import complement
 
@@ -89,11 +90,74 @@ def unet_infer(fp, x, *, policy: Policy = BF16_COMPUTE):
     return x1, y
 
 
+def _cbr_stacked(x, pc, policy, *, wmap=bd2):
+    """conv + tiled bias + relu on a channel-stacked pair."""
+    y = lax.conv_general_dilated(
+        policy.cast_compute(x), policy.cast_compute(wmap(pc["w"])),
+        (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=policy.precision)
+    return relu(y + jnp.tile(pc["b"], 2).astype(y.dtype))
+
+
+def unet_infer_stacked(fp, x, *, policy: Policy = BF16_COMPUTE):
+    """Folded forward with the branches channel-stacked at the 64-channel
+    levels (see unet.unet_apply_stacked for the rationale; numerics exact).
+    ``x`` is [B, H, W, 2*cin]; returns stacked (local, glob) [B,H,W,128]."""
+    b = x.shape[0]
+    h = _cbr_stacked(x, fp["inc"]["conv1"], policy)
+    x1s = _cbr_stacked(h, fp["inc"]["conv2"], policy)
+    hp = max_pool_2x2(x1s)
+    c = x1s.shape[-1] // 2
+    xb = jnp.concatenate([hp[..., :c], hp[..., c:]], axis=0)   # -> [2B,..,64]
+    feats = [None]
+    hcur = _dconv_infer(fp["down1"], xb, policy)
+    feats.append(hcur)
+    for i in range(2, 5):
+        hcur = _dconv_infer(fp[f"down{i}"], max_pool_2x2(hcur), policy)
+        feats.append(hcur)
+    y = feats[-1]
+    for i in range(1, 4):
+        up = fp[f"up{i}"]["up"]
+        y = conv_transpose_2x2(y, up["w"], up["b"], policy=policy)
+        skip = feats[4 - i]
+        dh = skip.shape[1] - y.shape[1]
+        dw = skip.shape[2] - y.shape[2]
+        if dh or dw:
+            y = jnp.pad(y, ((0, 0), (dh // 2, dh - dh // 2),
+                            (dw // 2, dw - dw // 2), (0, 0)))
+        y = _dconv_infer(fp[f"up{i}"]["conv"],
+                         jnp.concatenate([skip, y], axis=-1), policy)
+    y2s = jnp.concatenate([y[:b], y[b:]], axis=-1)             # restack
+    up = fp["up4"]["up"]
+    u = conv_transpose_2x2(y2s, bd2(up["w"]), jnp.tile(up["b"], 2),
+                           policy=policy)
+    dh = x1s.shape[1] - u.shape[1]
+    dw = x1s.shape[2] - u.shape[2]
+    if dh or dw:
+        u = jnp.pad(u, ((0, 0), (dh // 2, dh - dh // 2),
+                        (dw // 2, dw - dw // 2), (0, 0)))
+    xin = jnp.concatenate([x1s, u], axis=-1)                   # [s1|s2|u1|u2]
+    pc = fp["up4"]["conv"]
+    h = _cbr_stacked(xin, pc["conv1"], policy,
+                     wmap=lambda w: bd2_skip_up(w, c_skip=c))
+    y1s = _cbr_stacked(h, pc["conv2"], policy)
+    return x1s, y1s
+
+
 def onet_infer(folded, x, *, bias: float = 0.0,
-               policy: Policy = BF16_COMPUTE):
+               policy: Policy = BF16_COMPUTE, channel_stack: bool = None):
     """Folded-forward -> (S [B,H,W,2], labels [B,H,W])."""
+    from onet_tpu.models.onet import CHANNEL_STACK
+
     xd = complement(x, bias)
-    if "down" not in folded:
+    stack = CHANNEL_STACK if channel_stack is None else channel_stack
+    if "down" not in folded and stack:
+        xx = jnp.concatenate([x, xd], axis=-1)
+        loc, glob = unet_infer_stacked(folded["top"], xx, policy=policy)
+        c = loc.shape[-1] // 2
+        lt, ld = loc[..., :c], loc[..., c:]
+        ht, hd = glob[..., :c], glob[..., c:]
+    elif "down" not in folded:
         xx = jnp.concatenate([x, xd], axis=0)
         loc, glob = unet_infer(folded["top"], xx, policy=policy)
         b = x.shape[0]

@@ -29,9 +29,15 @@ import jax
 import jax.numpy as jnp
 
 from onet_tpu.core.policy import Policy, DEFAULT
-from onet_tpu.models.unet import unet_init, unet_apply
+from onet_tpu.models.unet import unet_init, unet_apply, unet_apply_stacked
 from onet_tpu.ops.math import log1pexp
 from onet_tpu.ops.normalize import complement
+
+# Weight-shared twin pass layout: channel-stack the complementary branches
+# at the 64-channel levels (see unet_apply_stacked). Exact numerics; faster
+# on TPU because XLA pads 64-lane tensors to 128 lanes. Trace-time switch
+# for A/B benchmarking.
+CHANNEL_STACK = True
 
 
 class OnetOutput(NamedTuple):
@@ -40,6 +46,11 @@ class OnetOutput(NamedTuple):
     Vt: jnp.ndarray  # [B, H, W] projection logits, top
     Vd: jnp.ndarray  # [B, H, W] projection logits, down
     S: jnp.ndarray   # [B, H, W, 2] class probabilities (softmax over pair)
+    # channel-summed local features [B, H, W, 2] (top, down) — precomputed
+    # so the JSD loss never touches Lt/Ld: in the channel-stacked layout the
+    # per-branch slices would materialize lane-padded 64-channel tensors in
+    # the backward; reducing on the stacked tensor keeps the graph dense.
+    Lsum: jnp.ndarray = None
 
 
 def onet_init(key, in_channels: int = 1, *, weight_share: bool = True,
@@ -77,9 +88,28 @@ def channel_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def onet_forward(params, state, x, *, train: bool, bias: float = 0.0,
-                 policy: Policy = DEFAULT, reshard=None):
+                 policy: Policy = DEFAULT, reshard=None,
+                 channel_stack: bool = None):
     """Forward pass on an NHWC batch in [0, 1]. Returns (OnetOutput, state)."""
     xd = complement(x, bias)
+    stack = CHANNEL_STACK if channel_stack is None else channel_stack
+    if is_weight_shared(params) and stack:
+        xx = jnp.concatenate([x, xd], axis=-1)  # [B, H, W, 2C]
+        (loc, glob), new_top = unet_apply_stacked(
+            params["top"], state["top"], xx, train=train, policy=policy,
+            reshard=reshard)
+        b, h, w, c2 = loc.shape
+        c = c2 // 2
+        # head reductions directly on the stacked layout: one fused read of
+        # (loc, glob) yields both branch dots and both channel sums
+        locf = loc.astype(jnp.float32).reshape(b, h, w, 2, c)
+        globf = glob.astype(jnp.float32).reshape(b, h, w, 2, c)
+        v = jnp.sum(locf * globf, axis=-1)          # [B, H, W, 2]
+        lsum = jnp.sum(locf, axis=-1)               # [B, H, W, 2]
+        s = jax.nn.softmax(v, axis=-1)
+        return OnetOutput(Lt=loc[..., :c], Ld=loc[..., c:],
+                          Vt=v[..., 0], Vd=v[..., 1], S=s,
+                          Lsum=lsum), {"top": new_top}
     if is_weight_shared(params):
         xx = jnp.concatenate([x, xd], axis=0)  # [2B, H, W, C]
         (loc, glob), new_top = unet_apply(params["top"], state["top"], xx,
@@ -122,8 +152,11 @@ def jsd(l_sum: jnp.ndarray, s_self: jnp.ndarray, s_other: jnp.ndarray) -> jnp.nd
 
 def compute_loss(out: OnetOutput) -> jnp.ndarray:
     """Symmetric JSD loss, float32."""
-    ct = jnp.sum(out.Lt.astype(jnp.float32), axis=-1)
-    cd = jnp.sum(out.Ld.astype(jnp.float32), axis=-1)
+    if out.Lsum is not None:
+        ct, cd = out.Lsum[..., 0], out.Lsum[..., 1]
+    else:
+        ct = jnp.sum(out.Lt.astype(jnp.float32), axis=-1)
+        cd = jnp.sum(out.Ld.astype(jnp.float32), axis=-1)
     st = out.S[..., 0]
     sd = out.S[..., 1]
     jsd_top = jsd(ct, st, sd)

@@ -111,6 +111,81 @@ def _up(params, state, x, skip, *, train, groups, policy):
     return y, {"conv": s}
 
 
+def unet_apply_stacked(params, state, x, *, train: bool,
+                       policy: Policy = DEFAULT, reshard=None):
+    """Weight-shared twin pass with the branches CHANNEL-stacked at the
+    64-channel 512^2-scale levels (inc, up4) and batch-stacked in between.
+
+    Rationale (measured, see RESULTS.md): XLA pads 64-lane NHWC tensors to
+    128 lanes in HBM and on the MXU, so every pass over a [2B, H, W, 64]
+    tensor moves 2x the bytes and fills half the systolic array. Stacking
+    the complementary branches on channels makes the shallow levels dense
+    [B, H, W, 128] with block-diagonal weights (layers.bd2) — numerically
+    exact (zero off-diagonal blocks), 2x nominal conv FLOPs at those two
+    levels but strictly faster end-to-end, and half the traffic for BN /
+    pool / ReLU / head.
+
+    ``x`` is [B, H, W, 2*in_ch] (branch blocks on channels). Returns
+    ((local, glob), state) with local/glob [B, H, W, 128] channel-stacked.
+    """
+    rs = reshard or (lambda tag, t: t)
+    new_state = {}
+    b = x.shape[0]
+    p, s = params["inc"], state["inc"]
+    h = L.conv3x3(x, L.bd2(p["conv1"]["w"]), policy=policy)
+    h, s1 = L.batch_norm(h, p["bn1"], s["bn1"], train=train, groups=2,
+                         stacked=True)
+    h = L.relu(h)
+    h = L.conv3x3(h, L.bd2(p["conv2"]["w"]), policy=policy)
+    h, s2 = L.batch_norm(h, p["bn2"], s["bn2"], train=train, groups=2,
+                         stacked=True)
+    x1s = L.relu(h)
+    new_state["inc"] = {"bn1": s1, "bn2": s2}
+
+    hp = L.max_pool_2x2(x1s)                       # stacked pool: half traffic
+    c = x1s.shape[-1] // 2
+    xb = jnp.concatenate([hp[..., :c], hp[..., c:]], axis=0)   # -> [2B,...,64]
+    x2, new_state["down1"] = _double_conv(params["down1"], state["down1"], xb,
+                                          train=train, groups=2, policy=policy)
+    x3, new_state["down2"] = _down(params["down2"], state["down2"], x2,
+                                   train=train, groups=2, policy=policy)
+    x3 = rs("deep", x3)
+    x4, new_state["down3"] = _down(params["down3"], state["down3"], x3,
+                                   train=train, groups=2, policy=policy)
+    x5, new_state["down4"] = _down(params["down4"], state["down4"], x4,
+                                   train=train, groups=2, policy=policy)
+    y4, new_state["up1"] = _up(params["up1"], state["up1"], x5, x4,
+                               train=train, groups=2, policy=policy)
+    y3, new_state["up2"] = _up(params["up2"], state["up2"], y4, x3,
+                               train=train, groups=2, policy=policy)
+    y2, new_state["up3"] = _up(params["up3"], state["up3"], y3, x2,
+                               train=train, groups=2, policy=policy)
+    y2 = rs("shallow", y2)
+
+    y2s = jnp.concatenate([y2[:b], y2[b:]], axis=-1)   # restack -> [B,...,256]
+    up, sc = params["up4"], state["up4"]["conv"]
+    u = L.conv_transpose_2x2(y2s, L.bd2(up["up"]["w"]),
+                             jnp.tile(up["up"]["b"], 2), policy=policy)
+    dh = x1s.shape[1] - u.shape[1]
+    dw = x1s.shape[2] - u.shape[2]
+    if dh or dw:
+        u = jnp.pad(u, ((0, 0), (dh // 2, dh - dh // 2),
+                        (dw // 2, dw - dw // 2), (0, 0)))
+    xin = jnp.concatenate([x1s, u], axis=-1)           # layout [s1|s2|u1|u2]
+    pc = up["conv"]
+    h = L.conv3x3(xin, L.bd2_skip_up(pc["conv1"]["w"], c_skip=c),
+                  policy=policy)
+    h, s1 = L.batch_norm(h, pc["bn1"], sc["bn1"], train=train, groups=2,
+                         stacked=True)
+    h = L.relu(h)
+    h = L.conv3x3(h, L.bd2(pc["conv2"]["w"]), policy=policy)
+    h, s2 = L.batch_norm(h, pc["bn2"], sc["bn2"], train=train, groups=2,
+                         stacked=True)
+    y1s = L.relu(h)
+    new_state["up4"] = {"conv": {"bn1": s1, "bn2": s2}}
+    return (x1s, y1s), new_state
+
+
 def unet_apply(params, state, x, *, train: bool, groups: int = 1,
                policy: Policy = DEFAULT, reshard=None):
     """Run the U-Net on an NHWC batch.
