@@ -35,7 +35,7 @@ constexpr int kMaxName = 64;
 #pragma pack(push, 1)
 struct EntryHeader {
   char name[kMaxName];
-  uint32_t dtype;  // 0=f32, 1=f16/bf16 raw, 2=i32, 3=u8, 4=i64
+  uint32_t dtype;  // 0=f32, 1=u16, 2=i32, 3=u8, 4=i64, 5=bf16 (ids opaque here)
   uint32_t ndim;
   int64_t shape[kMaxDims];
   uint64_t byte_size;

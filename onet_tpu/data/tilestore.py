@@ -15,14 +15,16 @@ import subprocess
 from typing import Dict, Optional
 
 import numpy as np
+import ml_dtypes
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libtilestore.so"))
 
-_DTYPES = {0: np.float32, 1: np.uint16, 2: np.int32, 3: np.uint8, 4: np.int64}
+_DTYPES = {0: np.float32, 1: np.uint16, 2: np.int32, 3: np.uint8, 4: np.int64,
+           5: ml_dtypes.bfloat16}
 _DTYPE_IDS = {np.dtype(np.float32): 0, np.dtype(np.uint16): 1,
               np.dtype(np.int32): 2, np.dtype(np.uint8): 3,
-              np.dtype(np.int64): 4}
+              np.dtype(np.int64): 4, np.dtype(ml_dtypes.bfloat16): 5}
 
 _lib = None
 
@@ -84,8 +86,6 @@ def save_store(path: str, arrays: Dict[str, np.ndarray]) -> str:
     try:
         for name, arr in arrays.items():
             a = np.ascontiguousarray(np.asarray(arr))
-            if a.dtype == np.dtype("bfloat16") if hasattr(np, "bfloat16") else False:
-                a = a.view(np.uint16)
             if a.dtype not in _DTYPE_IDS:
                 a = a.astype(np.float32)
             shape = (ctypes.c_int64 * a.ndim)(*a.shape)

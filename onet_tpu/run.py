@@ -49,6 +49,9 @@ def main(argv=None):
             p.add_argument("--out", default="rayleigh_dataset.npz")
         if name == "simclutter":
             p.add_argument("--frames-per-level", type=int, default=150)
+            p.add_argument("--data-file", default=None,
+                           help="reference-format .pt/.npz dataset "
+                                "(device generation when absent)")
         if name == "sweep":
             p.add_argument("--model", default=None,
                            help=".npz checkpoint (fresh init if absent)")
@@ -107,6 +110,26 @@ def main(argv=None):
     if args.cmd == "simclutter":
         cfg_yaml = generate_config(args.config, "Rayleigh", argv=[])
         from onet_tpu.train.simclutter import SimclutterConfig, train
+        datasets = None
+        data_file = args.data_file or os.path.join(
+            getattr(cfg_yaml, "dataset_root", ""),
+            getattr(cfg_yaml, "data_file_name", "") or "")
+        if data_file and os.path.exists(data_file):
+            # reference rayleigh_2sigma.pt ingestion (make_simbg_dataloader,
+            # dataloader/simbg4onet_20230209.py:99-152): per-frame normalize
+            # + SNR-range filter + 90/10 split happen in simclutter_datasets
+            from onet_tpu.data.simclutter import (
+                load_simclutter_pt, simclutter_datasets)
+            src = load_simclutter_pt(data_file)
+            print(f"[simclutter] loaded {data_file}: "
+                  f"{src['imgs'].shape[0]} frames")
+            import jax as _jax
+            datasets = simclutter_datasets(
+                _jax.random.key(1981),
+                low_snr=getattr(cfg_yaml, "low_snr", 0),
+                high_snr=getattr(cfg_yaml, "high_snr", 2),
+                source=src, crop=min(cfg_yaml.input_sz,
+                                     src["imgs"].shape[1]))
         cfg = SimclutterConfig(
             model_name=cfg_yaml.model_name,
             epoch_nums=args.epochs or cfg_yaml.epoch_nums,
@@ -119,7 +142,7 @@ def main(argv=None):
             out_root=args.out_root or cfg_yaml.out_root,
             base_channels=args.base_channels,
         )
-        train(cfg, policy=policy)
+        train(cfg, policy=policy, datasets=datasets)
         return
 
     if args.cmd == "zy3":
@@ -132,11 +155,11 @@ def main(argv=None):
             cfg_yaml.dataset_root, cfg_yaml.test_file)
         if os.path.exists(train_file) and os.path.exists(test_file):
             train_ds, _ = load_zy3_dict_pt(train_file)
-            test_ds, _ = load_zy3_dict_pt(test_file)
+            test_ds, test_ids = load_zy3_dict_pt(test_file)
         else:
             print("[zy3] reference .pt files not found - using synthetic scenes")
             train_ds, _ = synthesize_zy3(jax.random.key(0), n=64)
-            test_ds, _ = synthesize_zy3(jax.random.key(1), n=16)
+            test_ds, test_ids = synthesize_zy3(jax.random.key(1), n=16)
         cfg = Zy3Config(
             model_name=cfg_yaml.model_name,
             epoch_nums=args.epochs or cfg_yaml.epoch_nums,
@@ -146,7 +169,27 @@ def main(argv=None):
             out_root=args.out_root or cfg_yaml.out_root,
             base_channels=args.base_channels,
         )
-        train(cfg, train_ds, test_ds, policy=policy)
+        params, bn_state, _ = train(cfg, train_ds, test_ds, policy=policy)
+        # divided-testset Excel report with embedded thumbnails
+        # (save_zy3_test_results_to_excel, uti_zy3_test_20240123.py:320-429)
+        from onet_tpu.train.zy3 import save_zy3_test_results, GROUP_NAMES
+        from onet_tpu.core.checkpoint import datehour_mark
+        division_file = getattr(cfg_yaml, "division_file", None)
+        if division_file and os.path.exists(division_file):
+            from onet_tpu.preprocess.curation import load_division_table
+            groups = load_division_table(division_file)
+        else:  # no division table: round-robin groups (synthetic stand-in)
+            groups = {g: [test_ids[i] for i in range(gi, len(test_ids), 3)]
+                      for gi, g in enumerate(GROUP_NAMES)}
+        excel_name = getattr(cfg_yaml, "res_excel_file", "zy3_results.xlsx")
+        excel_path = os.path.join(
+            cfg.out_root,
+            excel_name.replace(".xlsx", f"_{datehour_mark()}.xlsx"))
+        path, summary = save_zy3_test_results(
+            excel_path, params, bn_state, test_ds, test_ids, groups,
+            batch_sz=cfg.batch_sz, policy=policy)
+        print(f"[zy3] report: {path}")
+        print(summary.to_string(index=False))
         return
 
     if args.cmd == "nau":

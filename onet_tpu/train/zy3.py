@@ -92,6 +92,75 @@ def evaluate_zy3(eval_batch, params, bn_state, test_ds: ArrayDataset,
     return mean, per_img
 
 
+GROUP_NAMES = ("normal_cloud", "thin_cloud", "snow_cloud")
+
+
+def save_zy3_test_results(out_path: str, params, bn_state,
+                          test_ds: ArrayDataset, ids,
+                          groups: Optional[dict] = None, *,
+                          batch_sz: int = 5, policy: Policy = DEFAULT):
+    """Excel report with embedded thumbnails + per-group summary.
+
+    Parity with save_zy3_test_results_to_excel / save_results_to_excel
+    (uti_zy3_test_20240123.py:320-429,541-591): one row per test image with
+    img_id / acc / miou / group plus 50x50 rgb, label, pred (Hungarian-
+    aligned), Vt, Vd thumbnails in columns I-M; a summary sheet carries the
+    per-group and overall means the reference prints/logs. ``groups`` maps
+    group name -> list of img_ids (get_divided_test_list, :304-318); images
+    in no group get group -1 (the reference prints a warning).
+    Returns (path, summary DataFrame).
+    """
+    import pandas as pd
+
+    from onet_tpu.ops.normalize import minmax_per_frame
+    from onet_tpu.report.tables import save_zy3_excel_report
+
+    eval_batch = make_zy3_eval(policy=policy)
+    group_of = {}
+    for gi, gname in enumerate(GROUP_NAMES):
+        for img_id in (groups or {}).get(gname, []):
+            group_of[str(img_id)] = gi
+    rows = []
+    idx = 0
+    for batch in batch_iterator(test_ds, batch_sz):
+        metrics, _, aligned, vt, vd = eval_batch(params, bn_state,
+                                                 batch["imgs"],
+                                                 batch["labels"])
+        vt = np.asarray(minmax_per_frame(vt))
+        vd = np.asarray(minmax_per_frame(vd))
+        n = batch["imgs"].shape[0]
+        for i in range(n):
+            img_id = str(ids[idx]) if idx < len(ids) else f"img_{idx:04d}"
+            rows.append({
+                "img_id": img_id,
+                "acc": float(metrics["acc"][i]),
+                "miou": float(metrics["miou"][i]),
+                "group": group_of.get(img_id, -1),
+                "rgb": np.asarray(batch["imgs"][i]),
+                "label": np.asarray(batch["labels"][i]).astype(np.float32),
+                "pred": np.asarray(aligned[i]).astype(np.float32),
+                "vt": vt[i],
+                "vd": vd[i],
+            })
+            idx += 1
+    summary_rows = []
+    for gi, gname in enumerate(GROUP_NAMES):
+        sub = [r for r in rows if r["group"] == gi]
+        if sub:
+            summary_rows.append({
+                "group": gname, "n": len(sub),
+                "acc": float(np.mean([r["acc"] for r in sub])),
+                "miou": float(np.mean([r["miou"] for r in sub]))})
+    summary_rows.append({"group": "all", "n": len(rows),
+                         "acc": float(np.mean([r["acc"] for r in rows])),
+                         "miou": float(np.mean([r["miou"] for r in rows]))})
+    summary = pd.DataFrame(summary_rows)
+    path = save_zy3_excel_report(out_path, rows, summary)
+    logging.info("Overall testset Accuracy %.4f, mIoU %.4f",
+                 summary_rows[-1]["acc"], summary_rows[-1]["miou"])
+    return path, summary
+
+
 def train(config: Zy3Config, train_ds: ArrayDataset, test_ds: ArrayDataset,
           *, policy: Policy = DEFAULT, mesh=None, log: bool = True):
     key = jax.random.key(config.seed)

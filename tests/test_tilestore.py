@@ -56,6 +56,19 @@ def test_corruption_detected(native, rng, tmp_path):
         ts.load_store(path)
 
 
+def test_bf16_roundtrip(native, rng, tmp_path):
+    """bfloat16 arrays round-trip bit-exactly with their dtype preserved
+    (regression: a misparenthesized dtype guard used to silently upcast
+    bf16 to float32)."""
+    import ml_dtypes
+    a = rng.standard_normal((3, 8, 8)).astype(ml_dtypes.bfloat16)
+    path = str(tmp_path / "bf16.ts")
+    assert ts.save_store(path, {"x": a}) == path
+    out = ts.load_store(path)["x"]
+    assert out.dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(out.view(np.uint16), a.view(np.uint16))
+
+
 def test_npz_fallback_roundtrip(rng, tmp_path, monkeypatch):
     monkeypatch.setattr(ts, "_load", lambda: None)
     arrays = _arrays(rng)

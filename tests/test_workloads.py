@@ -46,6 +46,28 @@ def test_zy3_training_slice(tmp_path):
     assert {"acc", "miou", "dr", "far", "test_loss"} <= set(m)
 
 
+def test_zy3_excel_report(tmp_path):
+    """End-to-end: eval a tiny model over a tiny test set and emit the
+    embedded-thumbnail Excel report (reference layout)."""
+    import zipfile
+    from onet_tpu.train.zy3 import save_zy3_test_results, GROUP_NAMES
+
+    test_ds, ids = synthesize_zy3(jax.random.key(6), n=4, size=64)
+    params, bn = onet_init(jax.random.key(0), 3, base=8)
+    groups = {g: [ids[i] for i in range(gi, len(ids), 3)]
+              for gi, g in enumerate(GROUP_NAMES)}
+    path, summary = save_zy3_test_results(
+        str(tmp_path / "zy3_report.xlsx"), params, bn, test_ds, ids, groups,
+        batch_sz=2)
+    assert path.endswith(".xlsx")
+    with zipfile.ZipFile(path) as z:
+        media = [n for n in z.namelist() if n.startswith("xl/media/")]
+        assert len(media) == 4 * 5      # 5 thumbnails per test image
+        assert "xl/worksheets/sheet2.xml" in z.namelist()  # summary sheet
+    assert set(summary["group"]) >= {"all"}
+    assert np.isfinite(summary[summary["group"] == "all"]["acc"]).all()
+
+
 def test_nau_transfer_eval():
     ds, _ = synthesize_nau_rain(jax.random.key(5), n=4, size=64)
     params, bn = onet_init(jax.random.key(6), 1, base=8)
