@@ -3,3 +3,6 @@ from onet_tpu.utils.summary import (
     compare_parameter_trees, get_scr,
 )
 from onet_tpu.core.config import config_to_str
+from onet_tpu.utils.profiling import (
+    StepTimer, trace, hlo_breakdown, category_breakdown,
+)
