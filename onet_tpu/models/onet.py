@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from onet_tpu.core.policy import Policy, DEFAULT
-from onet_tpu.models.unet import unet_init, unet_apply, unet_apply_stacked
+from onet_tpu.models.unet import (
+    unet_init, unet_apply, unet_apply_stacked, DEFAULT_OPS)
 from onet_tpu.ops.math import log1pexp
 from onet_tpu.ops.normalize import complement
 
@@ -89,7 +90,7 @@ def channel_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def onet_forward(params, state, x, *, train: bool, bias: float = 0.0,
                  policy: Policy = DEFAULT, reshard=None,
-                 channel_stack: bool = None):
+                 channel_stack: bool = None, ops=DEFAULT_OPS):
     """Forward pass on an NHWC batch in [0, 1]. Returns (OnetOutput, state)."""
     xd = complement(x, bias)
     stack = CHANNEL_STACK if channel_stack is None else channel_stack
@@ -97,7 +98,7 @@ def onet_forward(params, state, x, *, train: bool, bias: float = 0.0,
         xx = jnp.concatenate([x, xd], axis=-1)  # [B, H, W, 2C]
         (loc, glob), new_top = unet_apply_stacked(
             params["top"], state["top"], xx, train=train, policy=policy,
-            reshard=reshard)
+            reshard=reshard, ops=ops)
         b, h, w, c2 = loc.shape
         c = c2 // 2
         # head reductions directly on the stacked layout: one fused read of
@@ -114,7 +115,7 @@ def onet_forward(params, state, x, *, train: bool, bias: float = 0.0,
         xx = jnp.concatenate([x, xd], axis=0)  # [2B, H, W, C]
         (loc, glob), new_top = unet_apply(params["top"], state["top"], xx,
                                           train=train, groups=2, policy=policy,
-                                          reshard=reshard)
+                                          reshard=reshard, ops=ops)
         b = x.shape[0]
         lt, ld = loc[:b], loc[b:]
         ht, hd = glob[:b], glob[b:]
@@ -122,10 +123,10 @@ def onet_forward(params, state, x, *, train: bool, bias: float = 0.0,
     else:
         (lt, ht), new_top = unet_apply(params["top"], state["top"], x,
                                        train=train, groups=1, policy=policy,
-                                       reshard=reshard)
+                                       reshard=reshard, ops=ops)
         (ld, hd), new_dwn = unet_apply(params["down"], state["down"], xd,
                                        train=train, groups=1, policy=policy,
-                                       reshard=reshard)
+                                       reshard=reshard, ops=ops)
         new_state = {"top": new_top, "down": new_dwn}
 
     vt = channel_dot(lt.astype(jnp.float32), ht.astype(jnp.float32))

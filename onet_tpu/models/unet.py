@@ -15,6 +15,8 @@ asymmetric pad as the reference's F.pad (:92-96).
 
 from __future__ import annotations
 
+import types
+
 import jax
 import jax.numpy as jnp
 
@@ -22,6 +24,16 @@ from onet_tpu.core.policy import Policy, DEFAULT
 from onet_tpu.models import layers as L
 
 CHANNELS = (64, 128, 256, 512, 1024)
+
+# Injectable layer primitives: the default executes locally; the spatial
+# trainer (parallel/halo.py) substitutes halo-exchange convs and
+# cross-shard-reduced BatchNorm to run EXACTLY under an H-sharded mesh.
+DEFAULT_OPS = types.SimpleNamespace(
+    conv3x3=L.conv3x3,
+    batch_norm=L.batch_norm,
+    max_pool=L.max_pool_2x2,
+    conv_transpose=L.conv_transpose_2x2,
+)
 
 
 def _channels(base: int = 64):
@@ -84,35 +96,36 @@ def param_count(params) -> int:
 # apply
 # ---------------------------------------------------------------------------
 
-def _double_conv(params, state, x, *, train, groups, policy):
-    x = L.conv3x3(x, params["conv1"]["w"], policy=policy)
-    x, s1 = L.batch_norm(x, params["bn1"], state["bn1"], train=train, groups=groups)
+def _double_conv(params, state, x, *, train, groups, policy, ops=DEFAULT_OPS):
+    x = ops.conv3x3(x, params["conv1"]["w"], policy=policy)
+    x, s1 = ops.batch_norm(x, params["bn1"], state["bn1"], train=train, groups=groups)
     x = L.relu(x)
-    x = L.conv3x3(x, params["conv2"]["w"], policy=policy)
-    x, s2 = L.batch_norm(x, params["bn2"], state["bn2"], train=train, groups=groups)
+    x = ops.conv3x3(x, params["conv2"]["w"], policy=policy)
+    x, s2 = ops.batch_norm(x, params["bn2"], state["bn2"], train=train, groups=groups)
     x = L.relu(x)
     return x, {"bn1": s1, "bn2": s2}
 
 
-def _down(params, state, x, *, train, groups, policy):
-    return _double_conv(params, state, L.max_pool_2x2(x), train=train,
-                        groups=groups, policy=policy)
+def _down(params, state, x, *, train, groups, policy, ops=DEFAULT_OPS):
+    return _double_conv(params, state, ops.max_pool(x), train=train,
+                        groups=groups, policy=policy, ops=ops)
 
 
-def _up(params, state, x, skip, *, train, groups, policy):
-    x = L.conv_transpose_2x2(x, params["up"]["w"], params["up"]["b"], policy=policy)
+def _up(params, state, x, skip, *, train, groups, policy, ops=DEFAULT_OPS):
+    x = ops.conv_transpose(x, params["up"]["w"], params["up"]["b"], policy=policy)
     dh = skip.shape[1] - x.shape[1]
     dw = skip.shape[2] - x.shape[2]
     if dh or dw:
         x = jnp.pad(x, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
     x = jnp.concatenate([skip, x], axis=-1)  # reference concat order: [skip, up]
     y, s = _double_conv(params["conv"], state["conv"], x, train=train,
-                        groups=groups, policy=policy)
+                        groups=groups, policy=policy, ops=ops)
     return y, {"conv": s}
 
 
 def unet_apply_stacked(params, state, x, *, train: bool,
-                       policy: Policy = DEFAULT, reshard=None):
+                       policy: Policy = DEFAULT, reshard=None,
+                       ops=DEFAULT_OPS):
     """Weight-shared twin pass with the branches CHANNEL-stacked at the
     64-channel 512^2-scale levels (inc, up4) and batch-stacked in between.
 
@@ -132,40 +145,41 @@ def unet_apply_stacked(params, state, x, *, train: bool,
     new_state = {}
     b = x.shape[0]
     p, s = params["inc"], state["inc"]
-    h = L.conv3x3(x, L.bd2(p["conv1"]["w"]), policy=policy)
-    h, s1 = L.batch_norm(h, p["bn1"], s["bn1"], train=train, groups=2,
-                         stacked=True)
+    h = ops.conv3x3(x, L.bd2(p["conv1"]["w"]), policy=policy)
+    h, s1 = ops.batch_norm(h, p["bn1"], s["bn1"], train=train, groups=2,
+                           stacked=True)
     h = L.relu(h)
-    h = L.conv3x3(h, L.bd2(p["conv2"]["w"]), policy=policy)
-    h, s2 = L.batch_norm(h, p["bn2"], s["bn2"], train=train, groups=2,
-                         stacked=True)
+    h = ops.conv3x3(h, L.bd2(p["conv2"]["w"]), policy=policy)
+    h, s2 = ops.batch_norm(h, p["bn2"], s["bn2"], train=train, groups=2,
+                           stacked=True)
     x1s = L.relu(h)
     new_state["inc"] = {"bn1": s1, "bn2": s2}
 
-    hp = L.max_pool_2x2(x1s)                       # stacked pool: half traffic
+    hp = ops.max_pool(x1s)                         # stacked pool: half traffic
     c = x1s.shape[-1] // 2
     xb = jnp.concatenate([hp[..., :c], hp[..., c:]], axis=0)   # -> [2B,...,64]
     x2, new_state["down1"] = _double_conv(params["down1"], state["down1"], xb,
-                                          train=train, groups=2, policy=policy)
+                                          train=train, groups=2, policy=policy,
+                                          ops=ops)
     x3, new_state["down2"] = _down(params["down2"], state["down2"], x2,
-                                   train=train, groups=2, policy=policy)
+                                   train=train, groups=2, policy=policy, ops=ops)
     x3 = rs("deep", x3)
     x4, new_state["down3"] = _down(params["down3"], state["down3"], x3,
-                                   train=train, groups=2, policy=policy)
+                                   train=train, groups=2, policy=policy, ops=ops)
     x5, new_state["down4"] = _down(params["down4"], state["down4"], x4,
-                                   train=train, groups=2, policy=policy)
+                                   train=train, groups=2, policy=policy, ops=ops)
     y4, new_state["up1"] = _up(params["up1"], state["up1"], x5, x4,
-                               train=train, groups=2, policy=policy)
+                               train=train, groups=2, policy=policy, ops=ops)
     y3, new_state["up2"] = _up(params["up2"], state["up2"], y4, x3,
-                               train=train, groups=2, policy=policy)
+                               train=train, groups=2, policy=policy, ops=ops)
     y2, new_state["up3"] = _up(params["up3"], state["up3"], y3, x2,
-                               train=train, groups=2, policy=policy)
+                               train=train, groups=2, policy=policy, ops=ops)
     y2 = rs("shallow", y2)
 
     y2s = jnp.concatenate([y2[:b], y2[b:]], axis=-1)   # restack -> [B,...,256]
     up, sc = params["up4"], state["up4"]["conv"]
-    u = L.conv_transpose_2x2(y2s, L.bd2(up["up"]["w"]),
-                             jnp.tile(up["up"]["b"], 2), policy=policy)
+    u = ops.conv_transpose(y2s, L.bd2(up["up"]["w"]),
+                           jnp.tile(up["up"]["b"], 2), policy=policy)
     dh = x1s.shape[1] - u.shape[1]
     dw = x1s.shape[2] - u.shape[2]
     if dh or dw:
@@ -173,21 +187,21 @@ def unet_apply_stacked(params, state, x, *, train: bool,
                         (dw // 2, dw - dw // 2), (0, 0)))
     xin = jnp.concatenate([x1s, u], axis=-1)           # layout [s1|s2|u1|u2]
     pc = up["conv"]
-    h = L.conv3x3(xin, L.bd2_skip_up(pc["conv1"]["w"], c_skip=c),
-                  policy=policy)
-    h, s1 = L.batch_norm(h, pc["bn1"], sc["bn1"], train=train, groups=2,
-                         stacked=True)
+    h = ops.conv3x3(xin, L.bd2_skip_up(pc["conv1"]["w"], c_skip=c),
+                    policy=policy)
+    h, s1 = ops.batch_norm(h, pc["bn1"], sc["bn1"], train=train, groups=2,
+                           stacked=True)
     h = L.relu(h)
-    h = L.conv3x3(h, L.bd2(pc["conv2"]["w"]), policy=policy)
-    h, s2 = L.batch_norm(h, pc["bn2"], sc["bn2"], train=train, groups=2,
-                         stacked=True)
+    h = ops.conv3x3(h, L.bd2(pc["conv2"]["w"]), policy=policy)
+    h, s2 = ops.batch_norm(h, pc["bn2"], sc["bn2"], train=train, groups=2,
+                           stacked=True)
     y1s = L.relu(h)
     new_state["up4"] = {"conv": {"bn1": s1, "bn2": s2}}
     return (x1s, y1s), new_state
 
 
 def unet_apply(params, state, x, *, train: bool, groups: int = 1,
-               policy: Policy = DEFAULT, reshard=None):
+               policy: Policy = DEFAULT, reshard=None, ops=DEFAULT_OPS):
     """Run the U-Net on an NHWC batch.
 
     Returns ((local, glob), new_state): ``local`` is the 64-channel output
@@ -202,24 +216,33 @@ def unet_apply(params, state, x, *, train: bool, groups: int = 1,
     rs = reshard or (lambda tag, t: t)
     new_state = {}
     x1, new_state["inc"] = _double_conv(params["inc"], state["inc"], x,
-                                        train=train, groups=groups, policy=policy)
+                                        train=train, groups=groups,
+                                        policy=policy, ops=ops)
     x2, new_state["down1"] = _down(params["down1"], state["down1"], x1,
-                                   train=train, groups=groups, policy=policy)
+                                   train=train, groups=groups, policy=policy,
+                                   ops=ops)
     x3, new_state["down2"] = _down(params["down2"], state["down2"], x2,
-                                   train=train, groups=groups, policy=policy)
+                                   train=train, groups=groups, policy=policy,
+                                   ops=ops)
     x3 = rs("deep", x3)
     x4, new_state["down3"] = _down(params["down3"], state["down3"], x3,
-                                   train=train, groups=groups, policy=policy)
+                                   train=train, groups=groups, policy=policy,
+                                   ops=ops)
     x5, new_state["down4"] = _down(params["down4"], state["down4"], x4,
-                                   train=train, groups=groups, policy=policy)
+                                   train=train, groups=groups, policy=policy,
+                                   ops=ops)
 
     y4, new_state["up1"] = _up(params["up1"], state["up1"], x5, x4,
-                               train=train, groups=groups, policy=policy)
+                               train=train, groups=groups, policy=policy,
+                               ops=ops)
     y3, new_state["up2"] = _up(params["up2"], state["up2"], y4, x3,
-                               train=train, groups=groups, policy=policy)
+                               train=train, groups=groups, policy=policy,
+                               ops=ops)
     y2, new_state["up3"] = _up(params["up3"], state["up3"], y3, x2,
-                               train=train, groups=groups, policy=policy)
+                               train=train, groups=groups, policy=policy,
+                               ops=ops)
     y2 = rs("shallow", y2)
     y1, new_state["up4"] = _up(params["up4"], state["up4"], y2, x1,
-                               train=train, groups=groups, policy=policy)
+                               train=train, groups=groups, policy=policy,
+                               ops=ops)
     return (x1, y1), new_state

@@ -51,6 +51,10 @@ class SimclutterConfig:
     seed: int = 1981
     base_channels: int = 64
     save_epochs: tuple = (300,)
+    # complement-input bias: X_d = clip(1 - X + bias, 0, 1). The reference
+    # Onet carries this as a (default-0) attribute for low-SNR tuning
+    # (Onet_vanilla_20240606.py:172,180).
+    bias: float = 0.0
 
 
 def evaluate(eval_step, params, bn_state, test_ds: ArrayDataset, batch_sz: int):
@@ -84,8 +88,9 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
                                  weight_share=config.weight_share,
                                  base=config.base_channels)
     opt_state = adam_init(params)
-    train_step = make_train_step(policy=policy, mesh=mesh)
-    eval_step = make_eval_step(policy=policy, align="flip", mesh=mesh)
+    train_step = make_train_step(policy=policy, mesh=mesh, bias=config.bias)
+    eval_step = make_eval_step(policy=policy, align="flip", mesh=mesh,
+                               bias=config.bias)
 
     if log:
         log_file = setup_logging(config.out_root, config.model_name)

@@ -11,6 +11,7 @@ training the reference lacks (SURVEY.md section 2.10).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -51,20 +52,51 @@ def _make_reshard(mesh, spatial: bool):
 
 
 def make_train_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
-                    mesh=None, spatial: bool = False):
+                    mesh=None, spatial: bool = False, microbatches: int = 1):
     """Build the jitted train step:
     (params, bn_state, opt_state, x, lr) -> (params, bn_state, opt_state, loss)
+
+    ``microbatches=k`` accumulates gradients over k sequential slices of the
+    batch (lax.scan) before ONE Adam update — batches beyond HBM capacity
+    at full-batch optimizer semantics. The loss/gradient is the mean over
+    microbatches; BatchNorm batch statistics are per-microbatch with the
+    running EMA threaded sequentially (the reference's sequential-small-
+    batches behavior). When every microbatch has the same batch statistics
+    the accumulated step is numerically identical to the full-batch step
+    (tests/test_microbatch.py).
     """
     reshard = _make_reshard(mesh, spatial)
 
-    def train_step(params, bn_state, opt_state, x, lr):
+    def grads_of(params, bn_state, x):
         def loss_fn(p):
             out, new_bn = onet_forward(p, bn_state, x, train=True,
                                        bias=bias, policy=policy,
                                        reshard=reshard)
             return compute_loss(out), new_bn
 
-        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def train_step(params, bn_state, opt_state, x, lr):
+        if microbatches == 1:
+            (loss, new_bn), grads = grads_of(params, bn_state, x)
+        else:
+            n = x.shape[0]
+            if n % microbatches:
+                raise ValueError(f"batch {n} not divisible by "
+                                 f"{microbatches} microbatches")
+            xm = x.reshape(microbatches, n // microbatches, *x.shape[1:])
+
+            def micro(carry, xb):
+                bn, gsum, lsum = carry
+                (loss, new_bn), g = grads_of(params, bn, xb)
+                gsum = jax.tree.map(lambda a, b: a + b, gsum, g)
+                return (new_bn, gsum, lsum + loss), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (new_bn, gsum, lsum), _ = jax.lax.scan(
+                micro, (bn_state, zeros, jnp.float32(0.0)), xm)
+            grads = jax.tree.map(lambda g: g / microbatches, gsum)
+            loss = lsum / microbatches
         updates, opt_state = adam_update(grads, opt_state, lr)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, new_bn, opt_state, loss

@@ -1,0 +1,155 @@
+"""Exact spatial partitioning: the shard_map halo-exchange train step must
+match the single-device step bit-tightly — including at 1-row deep shards,
+where GSPMD's automatic spatial backward is corrupted (the round-1
+finding this module fixes)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from onet_tpu.core.mesh import make_mesh, replicated
+from onet_tpu.models.onet import onet_init
+from onet_tpu.parallel.halo import (
+    make_halo_ops, make_spatial_train_step, validate_spatial_shapes)
+from onet_tpu.train.optim import adam_init
+from onet_tpu.train.steps import make_train_step
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _mesh_or_skip(data, space):
+    if len(jax.devices()) < data * space:
+        pytest.skip("needs the 8-device virtual mesh")
+    return make_mesh(shape=(data, space),
+                     devices=jax.devices()[:data * space])
+
+
+def _copy(t):
+    return jax.tree.map(lambda a: jnp.array(a, copy=True), t)
+
+
+@pytest.mark.parametrize("channel_stack", [False, True])
+def test_spatial_step_matches_single_device(channel_stack):
+    """(data=4, space=2) halo step == single-device step. H=32 puts the
+    deepest encoder level at ONE local row per shard — the regime where the
+    GSPMD backward corrupts; the halo backward must stay exact."""
+    mesh = _mesh_or_skip(4, 2)
+    params, bn = onet_init(jax.random.key(0), 1, base=8)
+    x = jnp.asarray(np.random.default_rng(3)
+                    .uniform(0, 1, (8, 32, 32, 1)).astype(np.float32))
+
+    ref_step = make_train_step()  # single device, full batch
+    p1, b1, o1, loss1 = ref_step(_copy(params), _copy(bn),
+                                 adam_init(params), x, 1e-4)
+
+    sp_step = make_spatial_train_step(mesh, channel_stack=channel_stack)
+    rep = replicated(mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "space")))
+    p2, b2, o2, loss2 = sp_step(jax.device_put(_copy(params), rep),
+                                jax.device_put(_copy(bn), rep),
+                                jax.device_put(adam_init(params), rep),
+                                xs, 1e-4)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    # BN stats: psum reduction order vs single-device order; the
+    # E[x^2]-E[x]^2 cancellation amplifies fp32 noise on near-constant
+    # channels, so allow 1e-3 relative
+    for a, b in zip(jax.tree.leaves(b1), jax.tree.leaves(b2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-3)
+    # Updated parameters: Adam normalizes the first-step update to ~+-lr
+    # elementwise, so fp-reassociation-level gradient noise flips update
+    # signs wherever the true gradient is near zero (same caveat as
+    # test_dp_equivalence, which compares raw gradients instead — here
+    # test_spatial_gradients_exact_at_one_row_shards does). Assert a high
+    # same-sign fraction; a BROKEN backward (GSPMD-spatial grads, rel ~3)
+    # gives ~50% agreement.
+    u1 = np.concatenate([np.ravel(np.asarray(a, np.float64)
+                                  - np.asarray(a0, np.float64))
+                         for a0, a in zip(jax.tree.leaves(params),
+                                          jax.tree.leaves(p1))])
+    u2 = np.concatenate([np.ravel(np.asarray(b, np.float64)
+                                  - np.asarray(a0, np.float64))
+                         for a0, b in zip(jax.tree.leaves(params),
+                                          jax.tree.leaves(p2))])
+    same_sign = float(np.mean(np.sign(u1) == np.sign(u2)))
+    assert same_sign > 0.9, same_sign
+
+
+def test_spatial_gradients_exact_at_one_row_shards():
+    """Raw gradients at 1-ROW deep shards — the regime where GSPMD's
+    spatial backward corrupts (round-1 measured rel ~ 3, i.e. garbage).
+
+    Exactness floor: fp32 BatchNorm statistics are reduced in a different
+    order across 8 shards, and that reassociation noise amplifies through
+    18 BN/rsqrt layers — the PURE-DP GSPMD path (known-exact math, see
+    test_dp_equivalence tolerances) shows the same ~1e-2 relative class.
+    The halo path must land in that fp-noise class: leaf rel < 5e-2 and
+    cos > 0.9995 overall — versus GSPMD-spatial's rel ~ 3 here."""
+    mesh = _mesh_or_skip(4, 2)
+    params, bn = onet_init(jax.random.key(0), 1, base=8)
+    x = jnp.asarray(np.random.default_rng(4)
+                    .uniform(0, 1, (8, 32, 32, 1)).astype(np.float32))
+
+    from onet_tpu.core.mesh import batch_sharding
+    from onet_tpu.models.onet import onet_forward, compute_loss
+    from jax import lax
+
+    def loss_ref(p):
+        out, _ = onet_forward(p, bn, x, train=True, channel_stack=False)
+        return compute_loss(out)
+
+    g1 = jax.grad(loss_ref)(params)
+
+    ops = make_halo_ops(2)
+
+    def sharded(p, xl):
+        out, _ = onet_forward(p, bn, xl, train=True, channel_stack=False,
+                              ops=ops)
+        return lax.pmean(compute_loss(out), ("data", "space"))
+
+    smapped = jax.shard_map(sharded, mesh=mesh,
+                            in_specs=(P(), P("data", "space")),
+                            out_specs=P(), check_vma=False)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "space")))
+    g2 = jax.jit(jax.grad(lambda p: smapped(p, xs)))(params)
+
+    def rels(ga, gb):
+        out = []
+        for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            out.append(np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12))
+        return np.asarray(out)
+
+    halo_rel = rels(g1, g2)
+    assert halo_rel.max() < 5e-2, halo_rel.max()  # GSPMD spatial was ~3
+    a = np.concatenate([np.ravel(np.asarray(t, np.float64))
+                        for t in jax.tree.leaves(g1)])
+    b = np.concatenate([np.ravel(np.asarray(t, np.float64))
+                        for t in jax.tree.leaves(g2)])
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.9995, cos
+
+
+def test_halo_conv_matches_same_padding():
+    """Halo conv on a 2-shard mesh == plain SAME conv on the full image."""
+    mesh = _mesh_or_skip(1, 2)
+    from onet_tpu.models import layers as L
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(2, 16, 16, 4)).astype(np.float32))
+    w = jnp.asarray(np.random.default_rng(1)
+                    .normal(size=(3, 3, 4, 4)).astype(np.float32))
+    want = L.conv3x3(x, w)
+    ops = make_halo_ops(2)
+    f = jax.shard_map(lambda xl: ops.conv3x3(xl, w), mesh=mesh,
+                      in_specs=P(None, "space"), out_specs=P(None, "space"))
+    got = f(jax.device_put(x, NamedSharding(mesh, P(None, "space"))))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_validate_spatial_shapes():
+    validate_spatial_shapes(64, 2)
+    with pytest.raises(ValueError):
+        validate_spatial_shapes(40, 2)
