@@ -187,7 +187,8 @@ def main(argv=None):
             excel_name.replace(".xlsx", f"_{datehour_mark()}.xlsx"))
         path, summary = save_zy3_test_results(
             excel_path, params, bn_state, test_ds, test_ids, groups,
-            batch_sz=cfg.batch_sz, policy=policy)
+            batch_sz=cfg.batch_sz, policy=policy, draw=True,
+            epoch=cfg.epoch_nums - 1, model_name=cfg.model_name)
         print(f"[zy3] report: {path}")
         print(summary.to_string(index=False))
         return
@@ -201,10 +202,10 @@ def main(argv=None):
         test_file = args.test_file or os.path.join(
             cfg_yaml.dataset_root, cfg_yaml.load_test_file)
         if os.path.exists(test_file):
-            ds, _ = load_nau_dict_pt(test_file)
+            ds, ids = load_nau_dict_pt(test_file)
         else:
             print("[nau] radar .pt not found - using synthetic rain frames")
-            ds, _ = synthesize_nau_rain(jax.random.key(0), n=10)
+            ds, ids = synthesize_nau_rain(jax.random.key(0), n=10)
         params, bn = onet_init(jax.random.key(1981), 1,
                                base=args.base_channels)
         model = args.model or cfg_yaml.model_file
@@ -213,9 +214,12 @@ def main(argv=None):
             print(f"[nau] loaded {model}")
         else:
             print("[nau] no checkpoint - evaluating a fresh model")
+        fig = os.path.join(args.out_root or cfg_yaml.out_root,
+                           "nau_rain_transfer.png")
         out = test_naurain(params, bn, ds, batch_sz=cfg_yaml.batch_sz,
-                           policy=policy)
+                           policy=policy, ids=ids, fig_path=fig)
         print({k: round(float(v), 4) for k, v in out.items()})
+        print(f"[nau] figure: {fig}")
         return
 
 

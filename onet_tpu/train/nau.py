@@ -41,18 +41,26 @@ def make_transfer_eval(*, policy: Policy = DEFAULT):
         vd = minmax_per_frame(out.Vd[..., None])[..., 0]
         fg = jnp.where(flipped, vt, vd)
         fg_psnr, fg_snr = psnr_snr(fg, labels)
-        return metrics, (in_psnr, in_snr, fg_psnr, fg_snr), pred
+        return metrics, (in_psnr, in_snr, fg_psnr, fg_snr), pred, (vt, vd)
 
     return eval_batch
 
 
 def test_naurain(params, bn_state, test_ds: ArrayDataset, *,
-                 batch_sz: int = 5, policy: Policy = DEFAULT) -> Dict:
+                 batch_sz: int = 5, policy: Policy = DEFAULT,
+                 ids=None, fig_path: str = None) -> Dict:
+    """Transfer eval; with ``fig_path`` also dumps the show_nau_rain grid
+    (echo/gt/pred/Vt/Vd columns titled by frame name,
+    utils_20231218.py:595-620) for the first batch."""
     eval_batch = make_transfer_eval(policy=policy)
     sums, snrs, n = None, np.zeros(4), 0
+    first = None
     for batch in batch_iterator(test_ds, batch_sz):
-        metrics, snr4, _ = eval_batch(params, bn_state, batch["imgs"],
-                                      batch["labels"])
+        metrics, snr4, pred, vtvd = eval_batch(params, bn_state,
+                                               batch["imgs"],
+                                               batch["labels"])
+        if first is None:
+            first = (batch, pred, vtvd)
         metrics = {k: float(v) for k, v in metrics.items()}
         sums = metrics if sums is None else {k: sums[k] + metrics[k]
                                              for k in metrics}
@@ -60,4 +68,13 @@ def test_naurain(params, bn_state, test_ds: ArrayDataset, *,
         n += 1
     out = {k: v / n for k, v in sums.items()}
     out.update(zip(("input_psnr", "input_snr", "fg_psnr", "fg_snr"), snrs / n))
+    if fig_path and first is not None:
+        from onet_tpu.report.curves import save_nau_rain_grid
+        batch, pred, (vt, vd) = first
+        save_nau_rain_grid(
+            fig_path, np.asarray(batch["imgs"]),
+            list(ids or [])[:batch["imgs"].shape[0]],
+            np.asarray(vt), np.asarray(vd),
+            np.asarray(batch["labels"]), np.asarray(pred),
+            title="nau_rain_transfer")
     return out

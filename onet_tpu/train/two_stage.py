@@ -48,9 +48,23 @@ def make_two_stage_eval(*, policy: Policy = DEFAULT):
         raw2 = predict_label(out2.S)
         pred2 = align_labels_by_accuracy(raw2, labels)
         m2 = evaluate_binary_segmentation(pred2, labels)
-        return m1, m2, pred1, pred2
+        return m1, m2, pred1, pred2, (x2, fg_map)
 
     return eval_batch
+
+
+def draw_two_stage(fig_path: str, eval_batch, params1, bn1, params2, bn2,
+                   batch, title: str = "two_stage"):
+    """show_unet_2ndstage_test layout (utils_20231218.py:622-641): input /
+    stage-2 input / fg map / gt / stage-1 pred / stage-2 pred."""
+    from onet_tpu.report.curves import save_two_stage_grid
+
+    m1, m2, pred1, pred2, (x2, fg) = eval_batch(
+        params1, bn1, params2, bn2, batch["imgs"], batch["labels"])
+    return save_two_stage_grid(
+        fig_path, np.asarray(batch["imgs"]), np.asarray(x2),
+        np.asarray(fg[..., None]), np.asarray(batch["labels"]),
+        np.asarray(pred1), np.asarray(pred2), title=title)
 
 
 def verify_two_stage(params1, bn1, params2, bn2, datasets_by_psnr,
@@ -62,7 +76,7 @@ def verify_two_stage(params1, bn1, params2, bn2, datasets_by_psnr,
     for psnr, ds in datasets_by_psnr.items():
         sums1, sums2, n = None, None, 0
         for batch in batch_iterator(ds, batch_sz):
-            m1, m2, _, _ = eval_batch(params1, bn1, params2, bn2,
+            m1, m2, _, _, _ = eval_batch(params1, bn1, params2, bn2,
                                       batch["imgs"], batch["labels"])
             m1 = {k: float(v) for k, v in m1.items()}
             m2 = {k: float(v) for k, v in m2.items()}

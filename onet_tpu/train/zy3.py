@@ -98,7 +98,10 @@ GROUP_NAMES = ("normal_cloud", "thin_cloud", "snow_cloud")
 def save_zy3_test_results(out_path: str, params, bn_state,
                           test_ds: ArrayDataset, ids,
                           groups: Optional[dict] = None, *,
-                          batch_sz: int = 5, policy: Policy = DEFAULT):
+                          batch_sz: int = 5, policy: Policy = DEFAULT,
+                          draw: bool = False, draw_all: bool = False,
+                          epoch: Optional[int] = None,
+                          model_name: str = "onet_zy3"):
     """Excel report with embedded thumbnails + per-group summary.
 
     Parity with save_zy3_test_results_to_excel / save_results_to_excel
@@ -158,6 +161,14 @@ def save_zy3_test_results(out_path: str, params, bn_state,
     path = save_zy3_excel_report(out_path, rows, summary)
     logging.info("Overall testset Accuracy %.4f, mIoU %.4f",
                  summary_rows[-1]["acc"], summary_rows[-1]["miou"])
+    if draw:
+        # draw_test_res parity: epoch+metric-named 5x5 rgb/gt/pred/vt/vd
+        # grids next to the Excel report (uti_zy3_test_20240123.py:42-97)
+        from onet_tpu.report.curves import save_test_res_grids
+        save_test_res_grids(
+            os.path.dirname(out_path) or ".", model_name, rows,
+            test_loss=0.0, acc=summary_rows[-1]["acc"],
+            miou=summary_rows[-1]["miou"], epoch=epoch, draw_all=draw_all)
     return path, summary
 
 
