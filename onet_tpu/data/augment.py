@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -192,3 +193,226 @@ def grid_distortion(key, img, *, num_steps: int = 5, limit: float = 0.3):
     src_y = axis_map(ky, h)[:, None] * jnp.ones((1, w))
     src_x = axis_map(kx, w)[None, :] * jnp.ones((h, 1))
     return _bilinear_sample(img, src_y, src_x)
+
+# ---------------------------------------------------------------------------
+# simclutter pixel compose (dataloader/simbg4onet_20230209.py:30-40)
+# ---------------------------------------------------------------------------
+
+def equalize_u8(img_u8):
+    """cv2.equalizeHist semantics on a [H, W] uint8-valued float array:
+    lut[i] = round((cdf(i) - cdf_min) / (N - cdf_min) * 255)."""
+    v = img_u8.astype(jnp.int32)
+    hist = jnp.zeros((256,), jnp.float32).at[v.reshape(-1)].add(1.0)
+    cdf = jnp.cumsum(hist)
+    nz = hist > 0
+    cdf_min = jnp.min(jnp.where(nz, cdf, jnp.inf))
+    total = cdf[-1]
+    denom = jnp.maximum(total - cdf_min, 1.0)
+    lut = jnp.round((cdf - cdf_min) / denom * 255.0)
+    lut = jnp.clip(lut, 0, 255)
+    return lut[v].astype(jnp.float32)
+
+
+def clahe_u8(img_u8, *, tiles: int = 8, clip_limit: float = 4.0):
+    """CLAHE (cv2.createCLAHE semantics) on a [H, W] uint8-valued float
+    array; H and W must divide by ``tiles``. The histogram-excess
+    redistribution is uniform-float rather than cv2's integer
+    stride-residual scheme, so outputs match cv2 within ~2 gray levels.
+    """
+    h, w = img_u8.shape
+    th, tw = h // tiles, w // tiles
+    v = img_u8.astype(jnp.int32)
+    tiled = v.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3)
+    tiled = tiled.reshape(tiles * tiles, th * tw)              # [T, P]
+    one_hot = jax.nn.one_hot(tiled, 256, dtype=jnp.float32)
+    hist = jnp.sum(one_hot, axis=1)                            # [T, 256]
+    area = th * tw
+    clip = max(int(clip_limit * area / 256), 1)                # cv2 int clip
+    excess = jnp.sum(jnp.maximum(hist - clip, 0.0), axis=1,
+                     keepdims=True).astype(jnp.int32)          # [T, 1]
+    batchv = excess // 256
+    residual = excess - batchv * 256
+    hist = jnp.minimum(hist, float(clip)) + batchv.astype(jnp.float32)
+    # cv2's residual scheme: +1 at bins 0, step, 2*step, ... (residual bins)
+    idx = jnp.arange(256)[None, :]
+    step = jnp.maximum(256 // jnp.maximum(residual, 1), 1)     # [T, 1]
+    bump = ((idx % step == 0) & (idx // step < residual)).astype(jnp.float32)
+    hist = hist + bump
+    cdf = jnp.cumsum(hist, axis=1)
+    scale = 255.0 / area
+    luts = jnp.clip(jnp.round(cdf * scale), 0, 255)            # [T, 256]
+    luts = luts.reshape(tiles, tiles, 256)
+
+    # bilinear interpolation between the 4 neighboring tile LUTs
+    yy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / th - 0.5   # tile coords
+    xx = (jnp.arange(w, dtype=jnp.float32) + 0.5) / tw - 0.5
+    y0 = jnp.clip(jnp.floor(yy), 0, tiles - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xx), 0, tiles - 1).astype(jnp.int32)
+    y1 = jnp.clip(y0 + 1, 0, tiles - 1)
+    x1 = jnp.clip(x0 + 1, 0, tiles - 1)
+    fy = jnp.clip(yy - y0, 0.0, 1.0)[:, None]
+    fx = jnp.clip(xx - x0, 0.0, 1.0)[None, :]
+
+    def at(ty, tx):
+        return luts[ty[:, None], tx[None, :], v]
+
+    out = ((1 - fy) * (1 - fx) * at(y0, x0) + (1 - fy) * fx * at(y0, x1)
+           + fy * (1 - fx) * at(y1, x0) + fy * fx * at(y1, x1))
+    return jnp.round(out)
+
+
+def defocus_u8(key, img_u8, *, radius_range=(3, 10)):
+    """albumentations Defocus: disc-kernel blur with random integer radius.
+    Implemented as a full conv with a masked disc kernel of the maximum
+    radius (static shape), the mask selected by the drawn radius."""
+    rmax = radius_range[1]
+    r = jax.random.randint(key, (), radius_range[0], rmax + 1)
+    k = 2 * rmax + 1
+    yy = jnp.arange(k, dtype=jnp.float32) - rmax
+    dist2 = yy[:, None] ** 2 + yy[None, :] ** 2
+    disc = (dist2 <= r.astype(jnp.float32) ** 2).astype(jnp.float32)
+    disc = disc / jnp.sum(disc)
+    out = lax.conv_general_dilated(
+        img_u8[None, :, :, None], disc[:, :, None, None], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0]
+    return jnp.round(jnp.clip(out, 0, 255))
+
+
+def coarse_dropout_u8(key, img_u8, *, holes: int = 8, hole_hw: int = 8):
+    """albumentations CoarseDropout defaults: 8 holes of 8x8, fill 0."""
+    h, w = img_u8.shape
+    ky, kx = jax.random.split(key)
+    ys = jax.random.randint(ky, (holes,), 0, h - hole_hw + 1)
+    xs = jax.random.randint(kx, (holes,), 0, w - hole_hw + 1)
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    keep = jnp.ones((h, w), jnp.bool_)
+    for i in range(holes):
+        inside = ((yy >= ys[i]) & (yy < ys[i] + hole_hw)
+                  & (xx >= xs[i]) & (xx < xs[i] + hole_hw))
+        keep = keep & ~inside
+    return img_u8 * keep
+
+
+def simclutter_pixel_augment_one(key, img):
+    """The reference's simclutter pixel compose on ONE [H, W, 1] frame in
+    [0, 1] (simbg4onetDataset, dataloader/simbg4onet_20230209.py:30-59):
+    uint8 round-trip, then Defocus(p=.1), CLAHE(p=.1), Equalize(p=.1),
+    PixelDropout(p=.1), GaussianBlur(p=.1), BrightnessContrast(p=.2),
+    PixelDropout(p=.2), CoarseDropout(p=.2), HFlip(p=.2), then the
+    reference's re-normalization QUIRK: the denominator mixes the
+    augmented max with the ORIGINAL image min (:59).
+    """
+    orig = img
+    u8 = jnp.round(jnp.clip(img[..., 0], 0, 1) * 255.0)
+    ks = jax.random.split(key, 16)
+
+    def maybe(i, p, fn, x):
+        return jnp.where(jax.random.uniform(ks[i]) < p, fn(x), x)
+
+    u8 = maybe(0, 0.1, lambda x: defocus_u8(ks[1], x), u8)
+    u8 = maybe(2, 0.1, clahe_u8, u8)
+    u8 = maybe(3, 0.1, equalize_u8, u8)
+    u8 = maybe(4, 0.1,
+               lambda x: x * jax.random.bernoulli(ks[5], 0.99, x.shape), u8)
+    sigma = jax.random.uniform(ks[6], (), minval=0.5, maxval=2.0)
+    u8 = maybe(7, 0.1,
+               lambda x: jnp.round(gaussian_blur(x[..., None], sigma)[..., 0]),
+               u8)
+    u8 = maybe(8, 0.2,
+               lambda x: brightness_contrast(ks[9], x[..., None] / 255.0)
+               [..., 0] * 255.0, u8)
+    u8 = maybe(10, 0.2,
+               lambda x: x * jax.random.bernoulli(ks[11], 0.99, x.shape), u8)
+    u8 = maybe(12, 0.2, lambda x: coarse_dropout_u8(ks[13], x), u8)
+    u8 = maybe(14, 0.2, lambda x: x[:, ::-1], u8)
+
+    aug = u8.astype(jnp.float32)
+    lo = jnp.min(aug)
+    # reference quirk (:59): the denominator mixes SCALES — the augmented
+    # max (0..255) minus the ORIGINAL image min (0..1):
+    #   (aug - aug.min()) / (aug.max() - image.min() + np.spacing(1))
+    denom = jnp.max(aug) - jnp.min(orig[..., 0]) + _SPACING1
+    return ((aug - lo) / denom)[..., None]
+
+
+_SPACING1 = float(np.spacing(1.0))
+
+
+@jax.jit
+def simclutter_pixel_augment(key, imgs):
+    """Batch version: imgs [B, H, W, 1] in [0, 1]."""
+    keys = jax.random.split(key, imgs.shape[0])
+    return jax.vmap(simclutter_pixel_augment_one)(keys, imgs)
+
+# ---------------------------------------------------------------------------
+# joint image+mask augmentation (supervised ZY-3 datasets)
+# ---------------------------------------------------------------------------
+
+def _nearest_sample(mask, yy, xx):
+    """mask: [H, W]; nearest-neighbor sampling, zero outside (albumentations
+    applies INTER_NEAREST to masks)."""
+    h, w = mask.shape
+    yi = jnp.round(yy)
+    xi = jnp.round(xx)
+    inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+    xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+    return jnp.where(inside, mask[yc, xc], 0.0)
+
+
+def _augment_one_with_mask(key, img, mask):
+    """The ZY-3 compose applied JOINTLY to ([H,W,C] image, [H,W] label):
+    geometric transforms hit both (mask nearest-resampled), photometric
+    transforms hit the image only — CloudDataset_Supervised /
+    Snow_CloudDataset_Supervised semantics
+    (dataloader/zy3_cloud_thumbnailv5_20240304.py:124-216, alb compose
+    :44-79 with the ``mask`` target)."""
+    ks = jax.random.split(key, 8)
+    h, w, _ = img.shape
+
+    def geo(img, mask):
+        sel = jax.random.randint(ks[1], (), 0, 3)
+        img = lax.switch(sel, [
+            lambda x: x[:, ::-1, :],
+            lambda x: x[::-1, :, :],
+            lambda x: jnp.swapaxes(x, 0, 1),
+        ], img)
+        mask = lax.switch(sel, [
+            lambda m: m[:, ::-1],
+            lambda m: m[::-1, :],
+            lambda m: jnp.swapaxes(m, 0, 1),
+        ], mask)
+        return img, mask
+
+    gi, gm = geo(img, mask)
+    take = jax.random.uniform(ks[0]) < 0.8
+    img = jnp.where(take, gi, img)
+    mask = jnp.where(take, gm, mask)
+
+    # rotate p=0.2 (bilinear image, nearest mask)
+    ang = jax.random.uniform(ks[2], (), minval=-jnp.pi / 2, maxval=jnp.pi / 2)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
+    xx = lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    sy, sx = cos * yy - sin * xx + cy, sin * yy + cos * xx + cx
+    take = jax.random.uniform(ks[3]) < 0.2
+    img = jnp.where(take, _bilinear_sample(img, sy, sx), img)
+    mask = jnp.where(take, _nearest_sample(mask, sy, sx), mask)
+
+    # photometric (image only): snow p=0.1, brightness/contrast p=0.1
+    img = jnp.where(jax.random.uniform(ks[4]) < 0.1,
+                    random_snow(ks[5], img), img)
+    kbc, kp = jax.random.split(jax.random.fold_in(key, 99))
+    img = jnp.where(jax.random.uniform(kp) < 0.1,
+                    brightness_contrast(kbc, img), img)
+    return img, mask
+
+
+@jax.jit
+def augment_batch_with_masks(key, imgs, masks):
+    """imgs [B,H,W,C] in [0,1], masks [B,H,W] (any label values) ->
+    jointly augmented (imgs, masks)."""
+    keys = jax.random.split(key, imgs.shape[0])
+    return jax.vmap(_augment_one_with_mask)(keys, imgs, masks)

@@ -115,3 +115,30 @@ def synthesize_cloud_addition(key, n: int = 8, size: int = 224,
     terrain, imgs, masks = jax.vmap(one)(jax.random.split(key, n))
     ds = ArrayDataset({"terrain": terrain, "imgs": imgs, "labels": masks})
     return ds, [f"zy3_add_{i:04d}" for i in range(n)]
+
+def supervised_batches(key, ds: ArrayDataset, ids, batch_sz: int, *,
+                       aug: bool = True, snow_split: bool = False):
+    """CloudDataset_Supervised / Snow_CloudDataset_Supervised semantics
+    (dataloader/zy3_cloud_thumbnailv5_20240304.py:124-216): yield batches of
+    (imgs, masks[, cloud, snow], ids) with the augmentation applied JOINTLY
+    to image and mask (geometric ops move both, photometric image-only).
+    With ``snow_split`` the {0,1,2}-valued mask additionally splits into the
+    cloud==1 / snow==2 binary masks (:200-204).
+    """
+    from onet_tpu.data.augment import augment_batch_with_masks
+
+    n = len(ds)
+    order = (jax.random.permutation(key, n) if aug
+             else jnp.arange(n))
+    for bi, lo in enumerate(range(0, n, batch_sz)):
+        sel = order[lo:lo + batch_sz]
+        imgs = ds["imgs"][sel]
+        masks = ds["labels"][sel]
+        if aug:
+            imgs, masks = augment_batch_with_masks(
+                jax.random.fold_in(key, bi), imgs, masks)
+        out = {"imgs": imgs, "labels": masks,
+               "ids": [ids[int(i)] for i in np.asarray(sel)]}
+        if snow_split:
+            out["cloud"], out["snow"] = split_snow_mask(masks)
+        yield out

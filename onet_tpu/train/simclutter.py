@@ -55,6 +55,9 @@ class SimclutterConfig:
     # Onet carries this as a (default-0) attribute for low-SNR tuning
     # (Onet_vanilla_20240606.py:172,180).
     bias: float = 0.0
+    # pixel augmentation (simbg4onetDataset compose) on train batches; the
+    # published reference config runs with use_augmentation=False
+    aug: bool = False
 
 
 def evaluate(eval_step, params, bn_state, test_ds: ArrayDataset, batch_sz: int):
@@ -104,9 +107,14 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
                         factor=config.lr_decay)
         losses = []
         ek = jax.random.fold_in(k_loop, epoch)
-        for batch in batch_iterator(train_ds, config.batch_sz, key=ek):
+        for bi, batch in enumerate(batch_iterator(train_ds, config.batch_sz,
+                                                  key=ek)):
+            x = batch["imgs"]
+            if config.aug:
+                from onet_tpu.data.augment import simclutter_pixel_augment
+                x = simclutter_pixel_augment(jax.random.fold_in(ek, bi), x)
             params, bn_state, opt_state, loss = train_step(
-                params, bn_state, opt_state, batch["imgs"], lr)
+                params, bn_state, opt_state, x, lr)
             losses.append(loss)
         loss_epoch = float(jnp.mean(jnp.stack(losses)))
         history["loss"].append(loss_epoch)

@@ -235,3 +235,36 @@ def train(config: Zy3Config, train_ds: ArrayDataset, test_ds: ArrayDataset,
                          f"{config.model_name}_train_loss_{mark}.png"),
             history["loss"], history["eval"])
     return params, bn_state, history
+
+
+def make_supervised_train_step(*, policy: Policy = DEFAULT, mesh=None):
+    """Supervised fine-tuning step (ADDITIVE: the reference defines the
+    supervised ZY-3 datasets, dataloader/zy3_cloud_thumbnailv5_20240304.py
+    :124-216, but no supervised objective — this pairs them with a
+    pixel-wise cross-entropy on the class-probability map S)."""
+    from onet_tpu.train.optim import adam_update
+    from onet_tpu.train.steps import _make_reshard  # reuse sharding plumbing
+
+    def train_step(params, bn_state, opt_state, x, labels, lr):
+        def loss_fn(p):
+            out, new_bn = onet_forward(p, bn_state, x, train=True,
+                                       policy=policy)
+            y = labels.astype(jnp.int32)
+            logp = jnp.log(jnp.clip(out.S, 1e-8, 1.0))
+            ce = -jnp.mean(jnp.take_along_axis(logp, y[..., None],
+                                               axis=-1))
+            return ce, new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = adam_update(grads, opt_state, lr)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, new_bn, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0, 1, 2))
+    from onet_tpu.core.mesh import batch_sharding, replicated
+    rep = replicated(mesh)
+    return jax.jit(train_step, donate_argnums=(0, 1, 2),
+                   in_shardings=(rep, rep, rep, batch_sharding(mesh),
+                                 batch_sharding(mesh, rank=3), None),
+                   out_shardings=(rep, rep, rep, None))

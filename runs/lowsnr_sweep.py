@@ -35,6 +35,14 @@ def main():
         ("bias0.25_lr5e-6", dict(bias=0.25, base_lr=5e-6)),
         ("bias0.00_lr2e-5", dict(bias=0.0, base_lr=2e-5)),
     ]
+    if os.environ.get("LOWSNR_ROUND2"):
+        # triage verdict: bias sharpens acc/far dramatically; round 2 runs
+        # the full reference schedule at intermediate biases
+        configs = [
+            ("r2_bias0.15", dict(bias=0.15, base_lr=5e-6)),
+            ("r2_bias0.20", dict(bias=0.20, base_lr=5e-6)),
+            ("r2_bias0.25", dict(bias=0.25, base_lr=5e-6)),
+        ]
     os.makedirs(args.out, exist_ok=True)
     for name, kw in configs:
         t0 = time.time()

@@ -68,6 +68,49 @@ def test_zy3_excel_report(tmp_path):
     assert np.isfinite(summary[summary["group"] == "all"]["acc"]).all()
 
 
+def test_supervised_zy3_path():
+    """CloudDataset_Supervised semantics: joint image+mask augmentation
+    (geometry moves both), snow split, and the supervised CE fine-tune
+    step runs and is finite."""
+    from onet_tpu.data.zy3 import supervised_batches
+    from onet_tpu.train.zy3 import make_supervised_train_step
+    from onet_tpu.train.optim import adam_init
+
+    ds, ids = synthesize_zy3(jax.random.key(6), n=6, size=32)
+    params, bn = onet_init(jax.random.key(1), 3, base=8)
+    opt = adam_init(params)
+    step = make_supervised_train_step()
+    seen = []
+    for b in supervised_batches(jax.random.key(2), ds, ids, 3,
+                                snow_split=True):
+        assert b["imgs"].shape[1:] == (32, 32, 3)
+        assert set(np.unique(np.asarray(b["labels"]))) <= {0.0, 1.0, 2.0}
+        assert b["cloud"].shape == b["snow"].shape == b["labels"].shape[:3]
+        seen += b["ids"]
+        params, bn, opt, loss = step(params, bn, opt, b["imgs"],
+                                     b["labels"], 1e-4)
+        assert np.isfinite(float(loss))
+    assert sorted(seen) == sorted(ids)
+
+
+def test_joint_augmentation_keeps_mask_aligned():
+    """Geometric ops must move image and mask together: augment an image
+    that EQUALS its mask and check they stay (nearly) identical."""
+    from onet_tpu.data.augment import augment_batch_with_masks
+
+    rng = np.random.default_rng(0)
+    m = (rng.random((8, 32, 32)) > 0.5).astype(np.float32)
+    imgs = jnp.asarray(m[..., None].repeat(3, axis=-1))
+    masks = jnp.asarray(m)
+    for seed in range(4):
+        ai, am = augment_batch_with_masks(jax.random.key(seed), imgs, masks)
+        # photometric ops rescale the image; compare binarized mid-threshold
+        bi = (np.asarray(ai[..., 0]) > 0.5 * np.asarray(ai[..., 0]).max()
+              ) if np.asarray(ai).max() > 0 else np.zeros_like(m)
+        agree = (bi == (np.asarray(am) > 0.5)).mean()
+        assert agree > 0.95, agree
+
+
 def test_nau_transfer_eval():
     ds, _ = synthesize_nau_rain(jax.random.key(5), n=4, size=64)
     params, bn = onet_init(jax.random.key(6), 1, base=8)
