@@ -108,9 +108,12 @@ def unet_infer_stacked(fp, x, *, policy: Policy = BF16_COMPUTE):
     x1s = _cbr_stacked(h, fp["inc"]["conv2"], policy)
     hp = max_pool_2x2(x1s)
     c = x1s.shape[-1] // 2
-    xb = jnp.concatenate([hp[..., :c], hp[..., c:]], axis=0)   # -> [2B,..,64]
+    # down1.conv1 stacked as in unet_apply_stacked; unstack on its output
+    h = _cbr_stacked(hp, fp["down1"]["conv1"], policy)
+    c1 = h.shape[-1] // 2
+    xb = jnp.concatenate([h[..., :c1], h[..., c1:]], axis=0)   # -> [2B,...]
     feats = [None]
-    hcur = _dconv_infer(fp["down1"], xb, policy)
+    hcur = _conv_bias_relu(xb, fp["down1"]["conv2"], policy)
     feats.append(hcur)
     for i in range(2, 5):
         hcur = _dconv_infer(fp[f"down{i}"], max_pool_2x2(hcur), policy)

@@ -157,10 +157,20 @@ def unet_apply_stacked(params, state, x, *, train: bool,
 
     hp = ops.max_pool(x1s)                         # stacked pool: half traffic
     c = x1s.shape[-1] // 2
-    xb = jnp.concatenate([hp[..., :c], hp[..., c:]], axis=0)   # -> [2B,...,64]
-    x2, new_state["down1"] = _double_conv(params["down1"], state["down1"], xb,
-                                          train=train, groups=2, policy=policy,
-                                          ops=ops)
+    # down1.conv1 also runs channel-stacked (its 64-lane input would be
+    # lane-padded in batched form); the unstack to batch form happens on
+    # the unpadded 128-per-branch conv1 output
+    p1, s1d = params["down1"], state["down1"]
+    h = ops.conv3x3(hp, L.bd2(p1["conv1"]["w"]), policy=policy)
+    h, s1 = ops.batch_norm(h, p1["bn1"], s1d["bn1"], train=train, groups=2,
+                           stacked=True)
+    h = L.relu(h)
+    c1 = h.shape[-1] // 2
+    xb = jnp.concatenate([h[..., :c1], h[..., c1:]], axis=0)   # -> [2B,...]
+    xb = ops.conv3x3(xb, p1["conv2"]["w"], policy=policy)
+    xb, s2 = ops.batch_norm(xb, p1["bn2"], s1d["bn2"], train=train, groups=2)
+    x2 = L.relu(xb)
+    new_state["down1"] = {"bn1": s1, "bn2": s2}
     x3, new_state["down2"] = _down(params["down2"], state["down2"], x2,
                                    train=train, groups=2, policy=policy, ops=ops)
     x3 = rs("deep", x3)
