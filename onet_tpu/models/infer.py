@@ -152,15 +152,17 @@ def onet_infer(folded, x, *, bias: float = 0.0,
     """Folded-forward -> (S [B,H,W,2], labels [B,H,W])."""
     from onet_tpu.models.onet import CHANNEL_STACK
 
+    from onet_tpu.models.onet import stacked_head
+
     xd = complement(x, bias)
     stack = CHANNEL_STACK if channel_stack is None else channel_stack
     if "down" not in folded and stack:
         xx = jnp.concatenate([x, xd], axis=-1)
         loc, glob = unet_infer_stacked(folded["top"], xx, policy=policy)
-        c = loc.shape[-1] // 2
-        lt, ld = loc[..., :c], loc[..., c:]
-        ht, hd = glob[..., :c], glob[..., c:]
-    elif "down" not in folded:
+        v, _ = stacked_head(loc, glob)
+        s = jax.nn.softmax(v, axis=-1)
+        return s, jnp.argmax(s, axis=-1)
+    if "down" not in folded:
         xx = jnp.concatenate([x, xd], axis=0)
         loc, glob = unet_infer(folded["top"], xx, policy=policy)
         b = x.shape[0]

@@ -134,6 +134,10 @@ def _pool_custom(x):
 
 def _pool_val(x):
     n, h, w, c = x.shape
+    if h % 2 or w % 2:
+        # torch MaxPool2d(2) floor semantics: drop the trailing row/col
+        # (NAU's 200^2 reaches odd 25^2 at down3)
+        x = x[:, : h // 2 * 2, : w // 2 * 2, :]
     xr = x.reshape(n, h // 2, 2, w // 2, 2, c)
     return jnp.max(jnp.max(xr, axis=4), axis=2)
 
@@ -186,17 +190,19 @@ def _ct_bwd(precision, res, g):
         precision=precision,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
-    slabs = []
-    for di in (0, 1):
-        row = []
-        for dj in (0, 1):
-            gs = g[:, di::2, dj::2, :]
-            row.append(lax.dot_general(
-                x, gs, (((0, 1, 2), (0, 1, 2)), ((), ())),
-                precision=precision,
-                preferred_element_type=jnp.float32))  # [C, O]
-        slabs.append(jnp.stack(row, axis=0))
-    dw = jnp.stack(slabs, axis=0).astype(w.dtype)    # [2, 2, C, O]
+    n, h, w_sp, c = x.shape
+    o = g.shape[-1]
+    # dw via ONE contraction: reshape g [N,2H,2W,O] -> [N,H,2,W,2,O] (free,
+    # splits non-minor dims) and contract (n,i,j) against x, keeping (di,dj)
+    # in the output — the four strided slices g[:, di::2, dj::2, :] this
+    # replaces lowered to 16 gather fusions (~4.8 ms/step at the bench
+    # shape).
+    g6 = g.reshape(n, h, 2, w_sp, 2, o)
+    dw = lax.dot_general(
+        x, g6, (((0, 1, 2), (0, 1, 3)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32)          # [C, 2, 2, O]
+    dw = jnp.transpose(dw, (1, 2, 0, 3)).astype(w.dtype)   # [2, 2, C, O]
     return dx, dw
 
 

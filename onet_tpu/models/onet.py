@@ -88,6 +88,38 @@ def channel_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     raise ValueError(f"incompatible channel dims {ca} vs {cb}")
 
 
+def _branch_sel(c2: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[2C, 2] block-indicator: column b sums channel block b."""
+    c = c2 // 2
+    one = jnp.ones((c, 1), dtype)
+    zero = jnp.zeros((c, 1), dtype)
+    return jnp.concatenate(
+        [jnp.concatenate([one, zero], 1), jnp.concatenate([zero, one], 1)], 0)
+
+
+def stacked_head(loc, glob):
+    """Per-branch head reductions on channel-stacked (loc, glob).
+
+    Returns (v, lsum), both [B, H, W, 2] float32: v[..., b] = <L_b, H_b>
+    and lsum[..., b] = sum_c L_b — the projection logits and channel sums
+    of Onet_vanilla_20240606.py:176,182,231-232 for both branches.
+
+    Formulated as [.., 2C]·[2C, 2] indicator contractions rather than a
+    [.., 2, C] reshape + reduce: splitting the 128-lane channel dim made
+    XLA materialize f32 transposed-layout copies of both 512^2 activations
+    in forward AND backward (~13 ms/step at the bench shape, measured);
+    the matmul form fuses the f32 converts/multiply into the contraction.
+    """
+    sel = _branch_sel(loc.shape[-1])
+    prod = loc.astype(jnp.float32) * glob.astype(jnp.float32)
+    dims = (((prod.ndim - 1,), (0,)), ((), ()))
+    v = jax.lax.dot_general(prod, sel, dims,
+                            preferred_element_type=jnp.float32)
+    lsum = jax.lax.dot_general(loc.astype(jnp.float32), sel, dims,
+                               preferred_element_type=jnp.float32)
+    return v, lsum
+
+
 def onet_forward(params, state, x, *, train: bool, bias: float = 0.0,
                  policy: Policy = DEFAULT, reshard=None,
                  channel_stack: bool = None, ops=DEFAULT_OPS):
@@ -99,14 +131,10 @@ def onet_forward(params, state, x, *, train: bool, bias: float = 0.0,
         (loc, glob), new_top = unet_apply_stacked(
             params["top"], state["top"], xx, train=train, policy=policy,
             reshard=reshard, ops=ops)
-        b, h, w, c2 = loc.shape
-        c = c2 // 2
+        c = loc.shape[-1] // 2
         # head reductions directly on the stacked layout: one fused read of
         # (loc, glob) yields both branch dots and both channel sums
-        locf = loc.astype(jnp.float32).reshape(b, h, w, 2, c)
-        globf = glob.astype(jnp.float32).reshape(b, h, w, 2, c)
-        v = jnp.sum(locf * globf, axis=-1)          # [B, H, W, 2]
-        lsum = jnp.sum(locf, axis=-1)               # [B, H, W, 2]
+        v, lsum = stacked_head(loc, glob)           # [B, H, W, 2] each
         s = jax.nn.softmax(v, axis=-1)
         return OnetOutput(Lt=loc[..., :c], Ld=loc[..., c:],
                           Vt=v[..., 0], Vd=v[..., 1], S=s,
@@ -152,7 +180,14 @@ def jsd(l_sum: jnp.ndarray, s_self: jnp.ndarray, s_other: jnp.ndarray) -> jnp.nd
 
 
 def compute_loss(out: OnetOutput) -> jnp.ndarray:
-    """Symmetric JSD loss, float32."""
+    """Symmetric JSD loss, float32.
+
+    Kept in the reference's per-branch form: pair-tensor reformulations
+    (mean(log1pexp(-Lsum*S)) + mean(log1pexp(Lsum*(1-S))), exact by the
+    2-class softmax identity) measured 4-5 tiles/s SLOWER in the full train
+    graph — XLA's fusion choices around the [B,H,W] slices beat the
+    channel-reverse / complement forms (runs/ab2.py).
+    """
     if out.Lsum is not None:
         ct, cd = out.Lsum[..., 0], out.Lsum[..., 1]
     else:
