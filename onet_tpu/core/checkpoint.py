@@ -47,11 +47,47 @@ def datehour_mark() -> str:
 
 
 def save_checkpoint(path: str, params, bn_state, epoch: int):
+    """Crash-safe save: write to a temp file in the target directory, then
+    atomically rename. A process killed mid-write (preemption is the normal
+    failure mode on TPU pools) can never leave a truncated npz behind the
+    final name. (Additive over the reference's bare torch.save,
+    Train_Onet_on_simclutter_20250407.py:264-266.)"""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = {"__epoch__": np.asarray(epoch)}
     flat.update(_flatten(params, "p:"))
     flat.update(_flatten(bn_state, "s:"))
-    np.savez(path, **flat)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def rotate_checkpoints(out_root: str, keep: int = 3,
+                       pattern: str = "*.npz") -> list:
+    """Keep the newest ``keep`` checkpoints under ``out_root``; delete the
+    rest. Returns the deleted paths. Rotation is by mtime, so periodic
+    savers bound their disk use."""
+    import glob as _glob
+
+    hits = sorted(_glob.glob(os.path.join(out_root, pattern)),
+                  key=os.path.getmtime)
+    doomed = hits[:-keep] if keep > 0 else hits
+    for p in doomed:
+        os.remove(p)
+    return doomed
+
+
+def latest_checkpoint(out_root: str, pattern: str = "*.npz"):
+    """Newest checkpoint path under ``out_root`` (mtime order), or None —
+    the auto-resume hook: drivers pass restart=True and call this instead
+    of naming a file."""
+    import glob as _glob
+
+    hits = sorted(_glob.glob(os.path.join(out_root, pattern)),
+                  key=os.path.getmtime)
+    return hits[-1] if hits else None
 
 
 def load_checkpoint(path: str, params_template, state_template):

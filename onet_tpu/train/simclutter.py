@@ -20,7 +20,9 @@ import os
 import jax
 import jax.numpy as jnp
 
-from onet_tpu.core.checkpoint import save_checkpoint, datehour_mark
+from onet_tpu.core.checkpoint import (
+    save_checkpoint, datehour_mark, latest_checkpoint, load_checkpoint,
+    rotate_checkpoints)
 from onet_tpu.core.policy import Policy, DEFAULT
 from onet_tpu.data.arrays import ArrayDataset, batch_iterator
 from onet_tpu.data.simclutter import simclutter_datasets
@@ -58,6 +60,12 @@ class SimclutterConfig:
     # pixel augmentation (simbg4onetDataset compose) on train batches; the
     # published reference config runs with use_augmentation=False
     aug: bool = False
+    # fault tolerance (additive over the reference): resume from the newest
+    # checkpoint under out_root; periodic autosaves every N epochs with
+    # keep-last-k rotation (0 disables)
+    resume: bool = False
+    autosave_every: int = 0
+    autosave_keep: int = 3
 
 
 def evaluate(eval_step, params, bn_state, test_ds: ArrayDataset, batch_sz: int):
@@ -102,7 +110,15 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
 
     history = {"loss": [], "eval": {}}
     mark = datehour_mark()
-    for epoch in range(config.epoch_nums):
+    start_epoch = 0
+    if config.resume:
+        ck = latest_checkpoint(config.out_root)
+        if ck:
+            params, bn_state, last = load_checkpoint(ck, params, bn_state)
+            start_epoch = last + 1
+            if log:
+                logging.info("Resumed from %s (epoch %d)", ck, last)
+    for epoch in range(start_epoch, config.epoch_nums):
         lr = step_decay(config.base_lr, epoch, every=config.lr_decay_every,
                         factor=config.lr_decay)
         losses = []
@@ -131,11 +147,16 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
             if progress_cb:
                 progress_cb(epoch, loss_epoch, metrics)
 
-        if epoch == config.epoch_nums - 1 or epoch in config.save_epochs:
+        autosave = (config.autosave_every
+                    and epoch % config.autosave_every == 0)
+        if (epoch == config.epoch_nums - 1 or epoch in config.save_epochs
+                or autosave):
             path = os.path.join(
                 config.out_root,
                 f"{config.model_name}_epoch_{epoch}_{mark}.npz")
             save_checkpoint(path, params, bn_state, epoch)
+            if autosave:
+                rotate_checkpoints(config.out_root, keep=config.autosave_keep)
             if log:
                 logging.info("Saved checkpoint at epoch %d: %s", epoch, path)
 

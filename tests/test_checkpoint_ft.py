@@ -1,0 +1,69 @@
+"""Fault-tolerance additions: atomic saves, rotation, auto-resume.
+
+(Additive over the reference, which torch.saves in place and restarts only
+from an explicitly named file — SURVEY.md section 5.)"""
+
+import os
+
+import numpy as np
+
+import jax
+
+from onet_tpu.core.checkpoint import (
+    save_checkpoint, load_checkpoint, latest_checkpoint, rotate_checkpoints)
+from onet_tpu.models.onet import onet_init
+from onet_tpu.train.simclutter import SimclutterConfig, train
+from onet_tpu.data.arrays import ArrayDataset
+
+
+def _tiny_datasets():
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (8, 32, 32, 1)).astype(np.float32)
+    labels = (imgs[..., 0] > 0.8).astype(np.int32)
+    ds = ArrayDataset({"imgs": imgs, "labels": labels})
+    return ds, ds
+
+
+def test_atomic_save_leaves_no_tmp(tmp_path):
+    params, bn = onet_init(jax.random.key(0), 1, base=8)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, params, bn, 7)
+    assert os.path.exists(path)
+    assert not os.path.exists(path + ".tmp")
+    p2, b2, ep = load_checkpoint(path, params, bn)
+    assert ep == 7
+
+
+def test_rotation_keeps_newest(tmp_path):
+    params, bn = onet_init(jax.random.key(0), 1, base=8)
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"ck{i}.npz")
+        save_checkpoint(p, params, bn, i)
+        os.utime(p, (1000 + i, 1000 + i))
+        paths.append(p)
+    deleted = rotate_checkpoints(str(tmp_path), keep=2)
+    assert sorted(deleted) == sorted(paths[:3])
+    assert latest_checkpoint(str(tmp_path)) == paths[4]
+
+
+def test_driver_resume_continues_epoch_count(tmp_path):
+    out = str(tmp_path / "run")
+    base = dict(model_name="ft", epoch_nums=4, batch_sz=4, input_sz=32,
+                base_channels=8, eval_every=10, out_root=out,
+                save_epochs=(), autosave_every=1, autosave_keep=2)
+    ds = _tiny_datasets()
+    train(SimclutterConfig(**base), datasets=ds, log=False)
+    first = latest_checkpoint(out)
+    _, _, ep = load_checkpoint(first, *onet_init(jax.random.key(0), 1, base=8))
+    assert ep == 3
+    # autosave rotation bounded the directory
+    import glob
+    assert len(glob.glob(os.path.join(out, "*.npz"))) <= 2
+    # resume with a higher target trains only the remaining epochs
+    cfg = SimclutterConfig(**{**base, "epoch_nums": 6, "resume": True})
+    _, _, hist = train(cfg, datasets=ds, log=False)
+    assert len(hist["loss"]) == 2  # epochs 4 and 5 only
+    _, _, ep2 = load_checkpoint(latest_checkpoint(out),
+                                *onet_init(jax.random.key(0), 1, base=8))
+    assert ep2 == 5
