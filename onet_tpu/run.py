@@ -36,7 +36,8 @@ def _add_common(p):
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="onet_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
-    for name in ("simclutter", "zy3", "nau", "gen-data", "bench", "sweep"):
+    for name in ("simclutter", "zy3", "nau", "gen-data", "bench", "sweep",
+                 "serve"):
         p = sub.add_parser(name)
         _add_common(p)
         if name == "zy3":
@@ -56,6 +57,16 @@ def main(argv=None):
             p.add_argument("--model", default=None,
                            help=".npz checkpoint (fresh init if absent)")
             p.add_argument("--frames-per-level", type=int, default=150)
+        if name == "serve":
+            p.add_argument("--model", required=True, help=".npz checkpoint")
+            p.add_argument("--input", default=None,
+                           help=".npz with 'imgs' NHWC in [0,1] "
+                                "(synthetic frames when absent)")
+            p.add_argument("--out", default="masks.npz")
+            p.add_argument("--int8", action="store_true",
+                           help="int8 PTQ serving (models/quant.py); "
+                                "calibrates on the first batch")
+            p.add_argument("--serve-batch", type=int, default=32)
     args = parser.parse_args(argv)
 
     from onet_tpu.core.cache import enable_compilation_cache
@@ -105,6 +116,49 @@ def main(argv=None):
         print("PSNR0-10, ave_acc:%.4f, ave_miou:%.4f, ave_tiou:%.4f, "
               "ave_dr:%.4f, ave_far:%.4f"
               % (a["acc"], a["miou"], a["tiou"], a["dr"], a["far"]))
+        return
+
+    if args.cmd == "serve":
+        import time
+        import jax.numpy as jnp
+        from onet_tpu.core.checkpoint import load_checkpoint
+        from onet_tpu.models.infer import fold_onet, onet_infer
+        from onet_tpu.models.onet import onet_init
+        params, bn = onet_init(jax.random.key(0), 1,
+                               base=args.base_channels)
+        params, bn, _ = load_checkpoint(args.model, params, bn)
+        folded = jax.jit(fold_onet)(params, bn)
+        if args.input and os.path.exists(args.input):
+            imgs = np.load(args.input)["imgs"].astype(np.float32)
+        else:
+            from onet_tpu.train.sweeps import per_snr_datasets
+            data = per_snr_datasets(jax.random.key(7), frames_per_level=16,
+                                    levels=(5, 10))
+            imgs = np.concatenate([np.asarray(d.arrays["imgs"])
+                                   for d in data.values()])
+            print(f"[serve] no --input; {imgs.shape[0]} synthetic frames")
+        if args.int8:
+            from onet_tpu.models.quant import (
+                calibrate, quantize_folded, onet_infer_q)
+            scales = calibrate(folded, jnp.asarray(imgs[:args.serve_batch]))
+            q = quantize_folded(folded, scales)
+            step = jax.jit(onet_infer_q)
+            model_arg = q
+        else:
+            step = jax.jit(lambda f, xb: onet_infer(f, xb, policy=policy))
+            model_arg = folded
+        masks, n, t0 = [], 0, time.perf_counter()
+        for i in range(0, imgs.shape[0], args.serve_batch):
+            xb = jnp.asarray(imgs[i:i + args.serve_batch])
+            _, labels = step(model_arg, xb)
+            masks.append(np.asarray(labels).astype(np.uint8))
+            n += xb.shape[0]
+        dt = time.perf_counter() - t0
+        masks = np.concatenate(masks)
+        np.savez(args.out, masks=masks)
+        mode = "int8" if args.int8 else "bf16"
+        print(f"[serve:{mode}] {n} frames in {dt:.2f}s "
+              f"({n / dt:.1f} frames/s incl. compile) -> {args.out}")
         return
 
     if args.cmd == "simclutter":

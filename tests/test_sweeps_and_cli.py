@@ -69,3 +69,26 @@ def test_cli_nau_synthetic(capsys, monkeypatch):
     cli.main(["nau", "--base-channels", "8", "--fp32"])
     out = capsys.readouterr().out
     assert "'acc'" in out
+
+
+def test_cli_serve_bf16_and_int8(tmp_path, capsys):
+    from onet_tpu import run as cli
+    from onet_tpu.core.checkpoint import save_checkpoint
+    from onet_tpu.models.onet import onet_init
+
+    params, bn = onet_init(jax.random.key(4), 1, base=8)
+    ck = tmp_path / "m_epoch_3.npz"
+    save_checkpoint(str(ck), params, bn, 3)
+    imgs = np.random.default_rng(0).uniform(
+        0, 1, (6, 32, 32, 1)).astype(np.float32)
+    inp = tmp_path / "frames.npz"
+    np.savez(inp, imgs=imgs)
+    for flag in ([], ["--int8"]):
+        out = tmp_path / f"masks{len(flag)}.npz"
+        cli.main(["serve", "--model", str(ck), "--input", str(inp),
+                  "--out", str(out), "--base-channels", "8",
+                  "--serve-batch", "3"] + flag)
+        with np.load(out) as z:
+            assert z["masks"].shape == (6, 32, 32)
+            assert set(np.unique(z["masks"])) <= {0, 1}
+    assert "[serve:int8]" in capsys.readouterr().out
