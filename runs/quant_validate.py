@@ -44,9 +44,9 @@ def main():
     key = jax.random.key(99)
     train_ds, test_ds = simclutter_datasets(key, low_snr=5, high_snr=10,
                                             frames_per_level=20)
-    calib_x = train_ds.arrays["imgs"][:16]
-    xs = test_ds.arrays["imgs"]
-    labels = test_ds.arrays["labels"]
+    calib_x = train_ds["imgs"][:16]
+    xs = test_ds["imgs"]
+    labels = test_ds["labels"]
 
     scales = calibrate(folded, calib_x)
     q = quantize_folded(folded, scales)
@@ -56,8 +56,9 @@ def main():
 
     agree_n, tot = 0.0, 0
     m_bf_sum, m_q_sum, nb = None, None, 0
-    for i in range(0, xs.shape[0] - 19, 20):
-        xb, lb = xs[i:i + 20], labels[i:i + 20]
+    bs = min(20, int(xs.shape[0]))
+    for i in range(0, xs.shape[0] - bs + 1, bs):
+        xb, lb = xs[i:i + bs], labels[i:i + bs]
         _, lab_bf = infer_bf(folded, xb)
         _, lab_q = infer_q(q, xb)
         agree_n += float(jnp.sum((lab_bf == lab_q).astype(jnp.float32)))

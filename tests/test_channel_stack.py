@@ -94,3 +94,19 @@ def test_stacked_bn_running_stats_match_sequential():
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(st2["var"]), np.asarray(st["var"]),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_stacked_head_matches_reshape_reduce():
+    # the indicator-matmul head (onet.stacked_head) == [.., 2, C] reshape+sum
+    loc = jax.random.normal(jax.random.key(2), (2, 8, 8, 16), jnp.bfloat16)
+    glob = jax.random.normal(jax.random.key(3), (2, 8, 8, 16), jnp.bfloat16)
+    from onet_tpu.models.onet import stacked_head
+    v, lsum = stacked_head(loc, glob)
+    lf = loc.astype(jnp.float32).reshape(2, 8, 8, 2, 8)
+    gf = glob.astype(jnp.float32).reshape(2, 8, 8, 2, 8)
+    np.testing.assert_allclose(np.asarray(v),
+                               np.asarray(jnp.sum(lf * gf, -1)),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lsum),
+                               np.asarray(jnp.sum(lf, -1)),
+                               rtol=1e-6, atol=1e-6)
