@@ -290,15 +290,16 @@ def _convT_q(xq, site):
     ).astype(jnp.float32) * site["sw"] + site["b"]
 
 
-def onet_infer_q(q, x, *, bias: float = 0.0):
+def onet_infer_q(q, x, *, bias: float = 0.0, head_bf16: bool = True):
     """Int8 serving forward: [B, H, W, cin] in [0, 1] ->
     (S [B, H, W, 2] f32, labels [B, H, W]). Weight-shared stacked graph.
 
-    Mixed precision: the two convs PRODUCING the head features (inc.conv2
-    -> L, up4.conv2 -> H) run in bf16 — the projection <L, H> contracts 64
-    products per pixel, so head-feature noise multiplies; quantizing those
-    two sites alone cost ~7% mask agreement (measured, tests/test_quant.py
-    history). Everything else (20 of 22 conv sites) is int8.
+    ``head_bf16`` keeps the two convs PRODUCING the head features
+    (inc.conv2 -> L, up4.conv2 -> H) in bf16 — the projection <L, H>
+    contracts 64 products per pixel, so head-feature noise multiplies.
+    They cost ~20% of the int8 graph's time (512^2 at bf16 rate);
+    head_bf16=False runs all 22 sites int8 — validate agreement on your
+    checkpoint first (runs/quant_validate.py measures both).
     """
     s = q["scales"]
     xd = complement(x, bias)
@@ -306,9 +307,12 @@ def onet_infer_q(q, x, *, bias: float = 0.0):
     b = x.shape[0]
     xq = jnp.clip(jnp.round(xx / q["in_scale"]), 0.0, QMAX).astype(jnp.int8)
     h = _cbr_q(xq, q["inc.conv1"], s["inc.conv2"])
-    # bf16 head-feature conv on the dequantized codes
-    hf16 = (h.astype(jnp.float32) * s["inc.conv2"]).astype(jnp.bfloat16)
-    x1f = _conv_bf16(hf16, q["inc.conv2.bf16"])
+    if head_bf16:
+        # bf16 head-feature conv on the dequantized codes
+        hf16 = (h.astype(jnp.float32) * s["inc.conv2"]).astype(jnp.bfloat16)
+        x1f = _conv_bf16(hf16, q["inc.conv2.bf16"])
+    else:
+        x1f = _conv_i8(h, q["inc.conv2"])
     x1q = _requant(x1f, s["up4.conv1:skip"])    # skip codes for up4
     hp = _pool_q(_requant(x1f, s["down1.conv1"]))
     # down1.conv1's output is channel-stacked; its consumer down1.conv2 is
@@ -352,8 +356,11 @@ def onet_infer_q(q, x, *, bias: float = 0.0):
     uq = _requant_signed(uf, s["up4.conv1:up"])
     xin = jnp.concatenate([x1q, uq], axis=-1)
     h = _cbr_q(xin, q["up4.conv1"], s["up4.conv2"])
-    hf16 = (h.astype(jnp.float32) * s["up4.conv2"]).astype(jnp.bfloat16)
-    y1f = _conv_bf16(hf16, q["up4.conv2.bf16"])
+    if head_bf16:
+        hf16 = (h.astype(jnp.float32) * s["up4.conv2"]).astype(jnp.bfloat16)
+        y1f = _conv_bf16(hf16, q["up4.conv2.bf16"])
+    else:
+        y1f = _conv_i8(h, q["up4.conv2"])
     # head on the ReLU'd features in bf16 (the bf16 serving path's head
     # reads bf16 too; keeps the two 512^2 feature tensors at half traffic)
     loc = jnp.maximum(x1f, 0.0).astype(jnp.bfloat16)

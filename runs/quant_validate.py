@@ -53,15 +53,19 @@ def main():
 
     infer_bf = jax.jit(lambda f, xb: onet_infer(f, xb, policy=BF16_COMPUTE))
     infer_q = jax.jit(onet_infer_q)
+    infer_q_full = jax.jit(lambda qq, xb: onet_infer_q(qq, xb,
+                                                       head_bf16=False))
 
-    agree_n, tot = 0.0, 0
+    agree_n, agree_full_n, tot = 0.0, 0.0, 0
     m_bf_sum, m_q_sum, nb = None, None, 0
     bs = min(20, int(xs.shape[0]))
     for i in range(0, xs.shape[0] - bs + 1, bs):
         xb, lb = xs[i:i + bs], labels[i:i + bs]
         _, lab_bf = infer_bf(folded, xb)
         _, lab_q = infer_q(q, xb)
+        _, lab_qf = infer_q_full(q, xb)
         agree_n += float(jnp.sum((lab_bf == lab_q).astype(jnp.float32)))
+        agree_full_n += float(jnp.sum((lab_bf == lab_qf).astype(jnp.float32)))
         tot += lab_bf.size
         pb = align_labels_by_accuracy(lab_bf, lb)
         pq = align_labels_by_accuracy(lab_q, lb)
@@ -75,6 +79,7 @@ def main():
                                               for k in mq}
         nb += 1
     agreement = agree_n / tot
+    agreement_full = agree_full_n / tot
     m_bf = {k: v / nb for k, v in m_bf_sum.items()}
     m_q = {k: v / nb for k, v in m_q_sum.items()}
 
@@ -82,7 +87,8 @@ def main():
     xb = jnp.asarray(np.random.default_rng(0).uniform(
         0, 1, (BATCH_BENCH, TILE_BENCH, TILE_BENCH, 1)).astype(np.float32))
     rates = {}
-    for name, fn, arg in (("bf16", infer_bf, folded), ("int8", infer_q, q)):
+    for name, fn, arg in (("bf16", infer_bf, folded), ("int8", infer_q, q),
+                          ("int8_full", infer_q_full, q)):
         _, lab = fn(arg, xb)
         float(lab.sum())
         best = float("inf")
@@ -95,6 +101,7 @@ def main():
             best = min(best, (time.perf_counter() - t0) / ITERS)
         rates[name] = BATCH_BENCH / best
     rec = {"checkpoint": cks[-1], "mask_agreement_vs_bf16": agreement,
+           "mask_agreement_vs_bf16_fullint8": agreement_full,
            "metrics_bf16": m_bf, "metrics_int8": m_q,
            "infer_tiles_per_s": {k: round(v, 1) for k, v in rates.items()}}
     print(json.dumps(rec, indent=1))

@@ -43,12 +43,16 @@ def test_quant_runs_and_matches_shapes(trained_small):
     assert bool(jnp.all(jnp.isfinite(s)))
 
 
-def test_quant_mask_agreement(trained_small):
+import pytest
+
+
+@pytest.mark.parametrize("head_bf16", [True, False])
+def test_quant_mask_agreement(trained_small, head_bf16):
     folded, x = trained_small
     scales = calibrate(folded, x)
     q = quantize_folded(folded, scales)
     s_bf, lab_bf = onet_infer(folded, x, policy=BF16_COMPUTE)
-    s_q, lab_q = onet_infer_q(q, x)
+    s_q, lab_q = onet_infer_q(q, x, head_bf16=head_bf16)
     agree = float(jnp.mean((lab_q == lab_bf).astype(jnp.float32)))
     assert agree >= 0.95, f"mask agreement {agree:.4f}"
     # projection probabilities stay close in the bulk
