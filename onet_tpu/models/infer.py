@@ -150,9 +150,7 @@ def unet_infer_stacked(fp, x, *, policy: Policy = BF16_COMPUTE):
 def onet_infer(folded, x, *, bias: float = 0.0,
                policy: Policy = BF16_COMPUTE, channel_stack: bool = None):
     """Folded-forward -> (S [B,H,W,2], labels [B,H,W])."""
-    from onet_tpu.models.onet import CHANNEL_STACK
-
-    from onet_tpu.models.onet import stacked_head
+    from onet_tpu.models.onet import CHANNEL_STACK, stacked_head
 
     xd = complement(x, bias)
     stack = CHANNEL_STACK if channel_stack is None else channel_stack

@@ -179,20 +179,60 @@ def jsd(l_sum: jnp.ndarray, s_self: jnp.ndarray, s_other: jnp.ndarray) -> jnp.nd
     return -jnp.mean(log1pexp(-ls)) - jnp.mean(log1pexp(lsp))
 
 
+@jax.custom_vjp
+def _jsd_loss_pair(lsum, s):
+    """-(jsd_top + jsd_dwn)/2 on the pair tensors (Lsum, S), [B, H, W, 2].
+
+    Hand-written VJP: jax AD of the per-branch form saved four
+    f32[B,H,W,1] residuals in a pathological {0,2,1,3} layout (a 20 GiB/s
+    fusion, ~3 ms/step at the bench shape) — this saves only (Lsum, S),
+    which the head backward keeps live anyway, and recomputes the sigmoid
+    terms in the backward (log1pexp' = sigmoid; the piecewise branches of
+    ops.math.log1pexp differ from sigmoid by < 1e-30 where they diverge).
+    Measured +2.3 tiles/s in the full train graph (runs/ab4.py).
+    """
+    lt, ld = lsum[..., 0], lsum[..., 1]
+    st, sd = s[..., 0], s[..., 1]
+    return (jnp.mean(log1pexp(-lt * st)) + jnp.mean(log1pexp(lt * sd))
+            + jnp.mean(log1pexp(-ld * sd))
+            + jnp.mean(log1pexp(ld * st))) / 2.0
+
+
+def _jsd_loss_pair_fwd(lsum, s):
+    return _jsd_loss_pair(lsum, s), (lsum, s)
+
+
+def _jsd_loss_pair_bwd(res, g):
+    lsum, s = res
+    lt, ld = lsum[..., 0], lsum[..., 1]
+    st, sd = s[..., 0], s[..., 1]
+    k = g / (2.0 * lt.size)
+    sig_a = jax.nn.sigmoid(-lt * st)
+    sig_b = jax.nn.sigmoid(lt * sd)
+    sig_c = jax.nn.sigmoid(-ld * sd)
+    sig_d = jax.nn.sigmoid(ld * st)
+    dlsum = jnp.stack([k * (-sig_a * st + sig_b * sd),
+                       k * (-sig_c * sd + sig_d * st)], -1)
+    ds = jnp.stack([k * (-sig_a * lt + sig_d * ld),
+                    k * (sig_b * lt - sig_c * ld)], -1)
+    return dlsum, ds
+
+
+_jsd_loss_pair.defvjp(_jsd_loss_pair_fwd, _jsd_loss_pair_bwd)
+
+
 def compute_loss(out: OnetOutput) -> jnp.ndarray:
     """Symmetric JSD loss, float32.
 
-    Kept in the reference's per-branch form: pair-tensor reformulations
-    (mean(log1pexp(-Lsum*S)) + mean(log1pexp(Lsum*(1-S))), exact by the
-    2-class softmax identity) measured 4-5 tiles/s SLOWER in the full train
-    graph — XLA's fusion choices around the [B,H,W] slices beat the
-    channel-reverse / complement forms (runs/ab2.py).
+    The stacked path uses the custom-VJP pair form (_jsd_loss_pair). The
+    per-branch fallback keeps the reference's form: pair-tensor
+    RE-FORMULATIONS under jax AD (channel-reverse / 1-S) measured 4-5 t/s
+    SLOWER (runs/ab2.py) — only the hand-written VJP wins (runs/ab4.py).
     """
     if out.Lsum is not None:
-        ct, cd = out.Lsum[..., 0], out.Lsum[..., 1]
-    else:
-        ct = jnp.sum(out.Lt.astype(jnp.float32), axis=-1)
-        cd = jnp.sum(out.Ld.astype(jnp.float32), axis=-1)
+        return _jsd_loss_pair(out.Lsum, out.S)
+    ct = jnp.sum(out.Lt.astype(jnp.float32), axis=-1)
+    cd = jnp.sum(out.Ld.astype(jnp.float32), axis=-1)
     st = out.S[..., 0]
     sd = out.S[..., 1]
     jsd_top = jsd(ct, st, sd)
