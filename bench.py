@@ -119,6 +119,8 @@ def main():
         pass
 
     combined = 2.0 / (1.0 / train_rate + 1.0 / infer_rate)
+    combined_int8 = (2.0 / (1.0 / train_rate + 1.0 / int8_rate)
+                     if int8_rate else None)
     print(json.dumps({
         "metric": "onet_512tile_throughput_per_chip",
         "value": round(combined, 2),
@@ -128,6 +130,8 @@ def main():
                    "infer_tiles_per_s": round(infer_rate, 2),
                    "infer_int8_tiles_per_s": (round(int8_rate, 2)
                                               if int8_rate else None),
+                   "combined_int8_serving": (round(combined_int8, 2)
+                                             if combined_int8 else None),
                    "batch": BATCH, "tile": TILE,
                    "loss": loss_v},
     }))

@@ -67,3 +67,15 @@ def test_weight_quantization_roundtrip():
     wq, sw = _quant_w(w)
     err = jnp.abs(wq.astype(jnp.float32) * sw - w)
     assert float(jnp.max(err)) <= float(jnp.max(sw)) * 0.5 + 1e-7
+
+
+def test_quant_three_channel_zy3_shape():
+    # ZY-3 path: cin=3 RGB; the stacked input is 6-channel
+    params, bn = onet_init(jax.random.key(5), 3, base=8)
+    folded = fold_onet(params, bn)
+    x = jax.random.uniform(jax.random.key(6), (2, 32, 32, 3))
+    scales = calibrate(folded, x)
+    q = quantize_folded(folded, scales)
+    s, labels = onet_infer_q(q, x)
+    assert labels.shape == (2, 32, 32)
+    assert bool(jnp.all(jnp.isfinite(s)))
