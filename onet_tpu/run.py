@@ -67,6 +67,10 @@ def main(argv=None):
                            help="int8 PTQ serving (models/quant.py); "
                                 "calibrates on the first batch")
             p.add_argument("--serve-batch", type=int, default=32)
+            p.add_argument("--tile", type=int, default=0,
+                           help="tile arbitrarily large scenes into "
+                                "NxN context windows (serve/tiles.py)")
+            p.add_argument("--halo", type=int, default=32)
     args = parser.parse_args(argv)
 
     from onet_tpu.core.cache import enable_compilation_cache
@@ -134,7 +138,7 @@ def main(argv=None):
             from onet_tpu.train.sweeps import per_snr_datasets
             data = per_snr_datasets(jax.random.key(7), frames_per_level=16,
                                     levels=(5, 10))
-            imgs = np.concatenate([np.asarray(d.arrays["imgs"])
+            imgs = np.concatenate([np.asarray(d["imgs"])
                                    for d in data.values()])
             print(f"[serve] no --input; {imgs.shape[0]} synthetic frames")
         if args.int8:
@@ -148,11 +152,19 @@ def main(argv=None):
             step = jax.jit(lambda f, xb: onet_infer(f, xb, policy=policy))
             model_arg = folded
         masks, n, t0 = [], 0, time.perf_counter()
-        for i in range(0, imgs.shape[0], args.serve_batch):
-            xb = jnp.asarray(imgs[i:i + args.serve_batch])
-            _, labels = step(model_arg, xb)
-            masks.append(np.asarray(labels).astype(np.uint8))
-            n += xb.shape[0]
+        if args.tile:
+            from onet_tpu.serve import infer_tiled
+            for scene in imgs:
+                m = infer_tiled(step, model_arg, scene, tile=args.tile,
+                                halo=args.halo, batch=args.serve_batch)
+                masks.append(m[None].astype(np.uint8))
+                n += 1
+        else:
+            for i in range(0, imgs.shape[0], args.serve_batch):
+                xb = jnp.asarray(imgs[i:i + args.serve_batch])
+                _, labels = step(model_arg, xb)
+                masks.append(np.asarray(labels).astype(np.uint8))
+                n += xb.shape[0]
         dt = time.perf_counter() - t0
         masks = np.concatenate(masks)
         np.savez(args.out, masks=masks)

@@ -92,3 +92,23 @@ def test_cli_serve_bf16_and_int8(tmp_path, capsys):
             assert z["masks"].shape == (6, 32, 32)
             assert set(np.unique(z["masks"])) <= {0, 1}
     assert "[serve:int8]" in capsys.readouterr().out
+
+
+def test_cli_serve_tiled_scene(tmp_path, capsys):
+    from onet_tpu import run as cli
+    from onet_tpu.core.checkpoint import save_checkpoint
+    from onet_tpu.models.onet import onet_init
+
+    params, bn = onet_init(jax.random.key(4), 1, base=8)
+    ck = tmp_path / "m_epoch_3.npz"
+    save_checkpoint(str(ck), params, bn, 3)
+    imgs = np.random.default_rng(1).uniform(
+        0, 1, (2, 80, 96, 1)).astype(np.float32)
+    np.savez(tmp_path / "scenes.npz", imgs=imgs)
+    out = tmp_path / "masks.npz"
+    cli.main(["serve", "--model", str(ck), "--input",
+              str(tmp_path / "scenes.npz"), "--out", str(out),
+              "--base-channels", "8", "--serve-batch", "2",
+              "--tile", "48", "--halo", "16"])
+    with np.load(out) as z:
+        assert z["masks"].shape == (2, 80, 96)
