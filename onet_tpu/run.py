@@ -57,6 +57,9 @@ def main(argv=None):
             p.add_argument("--model", default=None,
                            help=".npz checkpoint (fresh init if absent)")
             p.add_argument("--frames-per-level", type=int, default=150)
+            p.add_argument("--far-budgets", default=None,
+                           help="comma list (e.g. 0.01,0.05): ALSO report "
+                                "threshold-detector dr at these FAR budgets")
         if name == "serve":
             p.add_argument("--model", required=True, help=".npz checkpoint")
             p.add_argument("--input", default=None,
@@ -120,6 +123,18 @@ def main(argv=None):
         print("PSNR0-10, ave_acc:%.4f, ave_miou:%.4f, ave_tiou:%.4f, "
               "ave_dr:%.4f, ave_far:%.4f"
               % (a["acc"], a["miou"], a["tiou"], a["dr"], a["far"]))
+        if args.far_budgets:
+            from onet_tpu.train.sweeps import threshold_sweep_by_snr
+            budgets = tuple(float(b) for b in args.far_budgets.split(","))
+            trep = threshold_sweep_by_snr(params, bn, data,
+                                          far_budgets=budgets, policy=policy)
+            for psnr in sorted(trep):
+                parts = " ".join(
+                    f"far<={b:g}: dr {v['dr']:.3f}"
+                    for b, v in sorted(trep[psnr]["thresh"].items()))
+                am = trep[psnr]["argmax"]
+                print(f"psnr:{psnr:02d} threshold-detector | argmax dr "
+                      f"{am['dr']:.3f} far {am['far']:.1E} | {parts}")
         return
 
     if args.cmd == "serve":

@@ -47,6 +47,47 @@ def test_by_snr(params, bn_state, datasets_by_psnr, *, batch_sz: int = 10,
                                datasets_by_psnr, batch_sz)
 
 
+def threshold_sweep_by_snr(params, bn_state, datasets_by_psnr, *,
+                           far_budgets=(1e-3, 1e-2, 5e-2, 1e-1),
+                           policy: Policy = DEFAULT) -> Dict:
+    """Per-PSNR detection rates at explicit FAR budgets via the
+    projection-threshold detector (metrics/roc.py — additive; the
+    reference's argmax is the threshold-0 point). Returns
+    {psnr: {"argmax": {...}, "thresh": {budget: {"far", "dr"}}}}."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from onet_tpu.metrics.roc import fg_score, dr_at_far
+    from onet_tpu.metrics.segmentation import align_labels_by_accuracy
+    from onet_tpu.models.onet import onet_forward, predict_label
+
+    @_jax.jit
+    def fwd(x):
+        out, _ = onet_forward(params, bn_state, x, train=False,
+                              policy=policy)
+        return out.Vt, out.Vd, predict_label(out.S)
+
+    report = {}
+    for psnr, ds in datasets_by_psnr.items():
+        x, labels = ds["imgs"], ds["labels"]
+        vt, vd, raw = fwd(x)
+        aligned = align_labels_by_accuracy(raw, labels)
+        fg_is_down = bool(_jnp.mean((raw == aligned).astype(_jnp.float32))
+                          > 0.5)
+        score = fg_score(vt, vd, fg_is_down=fg_is_down)
+        y = labels > 0
+        tp = _jnp.sum((aligned > 0) & y)
+        fp = _jnp.sum((aligned > 0) & ~y)
+        rep = dr_at_far(score, labels, far_budgets)
+        report[psnr] = {
+            "argmax": {"dr": float(tp / _jnp.maximum(_jnp.sum(y), 1)),
+                       "far": float(fp / _jnp.maximum(_jnp.sum(~y), 1))},
+            "thresh": {float(k): {"far": v[0], "dr": v[1]}
+                       for k, v in rep.items()},
+        }
+    return report
+
+
 def train_by_snr(base_config: SimclutterConfig, *, levels=range(0, 11),
                  policy: Policy = DEFAULT) -> Dict:
     """Train an identically-initialized model per PSNR level; returns

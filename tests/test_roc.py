@@ -43,3 +43,15 @@ def test_dr_at_far_meets_budget():
         assert far <= tgt + 1e-6
         assert 0.0 <= dr <= 1.0
     assert rep[0.1][1] >= rep[0.01][1]        # looser budget, >= dr
+
+
+def test_threshold_sweep_by_snr_smoke():
+    import jax
+    from onet_tpu.models.onet import onet_init
+    from onet_tpu.train.sweeps import threshold_sweep_by_snr, per_snr_datasets
+    params, bn = onet_init(jax.random.key(0), 1, base=8)
+    data = per_snr_datasets(jax.random.key(3), frames_per_level=4,
+                            levels=(5,), crop=32)
+    rep = threshold_sweep_by_snr(params, bn, data, far_budgets=(0.1,))
+    assert 5 in rep and "argmax" in rep[5]
+    assert 0.1 in rep[5]["thresh"]
