@@ -46,16 +46,22 @@ def datehour_mark() -> str:
     return "%04d_%02d%02d_%02d" % (now.year, now.month, now.day, now.hour)
 
 
-def save_checkpoint(path: str, params, bn_state, epoch: int):
+def save_checkpoint(path: str, params, bn_state, epoch: int, opt_state=None):
     """Crash-safe save: write to a temp file in the target directory, then
     atomically rename. A process killed mid-write (preemption is the normal
     failure mode on TPU pools) can never leave a truncated npz behind the
     final name. (Additive over the reference's bare torch.save,
-    Train_Onet_on_simclutter_20250407.py:264-266.)"""
+    Train_Onet_on_simclutter_20250407.py:264-266.)
+
+    ``opt_state`` (optional) additionally stores the optimizer state under
+    an 'o:' prefix so a resumed run keeps its Adam moments and step count —
+    old checkpoints without it stay loadable."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = {"__epoch__": np.asarray(epoch)}
     flat.update(_flatten(params, "p:"))
     flat.update(_flatten(bn_state, "s:"))
+    if opt_state is not None:
+        flat.update(_flatten(opt_state, "o:"))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **flat)
@@ -66,9 +72,13 @@ def save_checkpoint(path: str, params, bn_state, epoch: int):
 
 def rotate_checkpoints(out_root: str, keep: int = 3,
                        pattern: str = "*.npz") -> list:
-    """Keep the newest ``keep`` checkpoints under ``out_root``; delete the
-    rest. Returns the deleted paths. Rotation is by mtime, so periodic
-    savers bound their disk use."""
+    """Keep the newest ``keep`` checkpoints matching ``pattern`` under
+    ``out_root``; delete the rest. Returns the deleted paths. Rotation is
+    by mtime, so periodic savers bound their disk use.
+
+    Callers MUST scope ``pattern`` to their own autosave namespace (e.g.
+    ``f"{model_name}_autosave_*.npz"``) — the default ``*.npz`` matches
+    every checkpoint in the directory, including milestones."""
     import glob as _glob
 
     hits = sorted(_glob.glob(os.path.join(out_root, pattern)),
@@ -90,11 +100,20 @@ def latest_checkpoint(out_root: str, pattern: str = "*.npz"):
     return hits[-1] if hits else None
 
 
-def load_checkpoint(path: str, params_template, state_template):
-    """Returns (params, bn_state, epoch); templates supply the tree
-    structure (shapes validated implicitly by assignment)."""
+def load_checkpoint(path: str, params_template, state_template,
+                    opt_template=None):
+    """Returns (params, bn_state, epoch) — or, when ``opt_template`` is
+    given, (params, bn_state, epoch, opt_state_or_None); opt_state is None
+    for pre-optimizer-state checkpoints (the caller should log that Adam
+    moments restart). Templates supply the tree structure (shapes validated
+    implicitly by assignment)."""
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
     params = _unflatten(params_template, flat, "p:")
     bn_state = _unflatten(state_template, flat, "s:")
-    return params, bn_state, int(flat["__epoch__"])
+    epoch = int(flat["__epoch__"])
+    if opt_template is None:
+        return params, bn_state, epoch
+    has_opt = any(k.startswith("o:") for k in flat)
+    opt_state = _unflatten(opt_template, flat, "o:") if has_opt else None
+    return params, bn_state, epoch, opt_state

@@ -27,11 +27,24 @@ def roc_points(score: jnp.ndarray, labels: jnp.ndarray, n: int = 64):
     score, labels: [B, H, W]; labels binary with 1 = target. far is
     FP / GT-negatives, dr is TP / GT-positives (the _detection_rate /
     _false_alarm_rate conventions, utils_20231218.py:174-192).
+
+    Thresholds are quantiles of the NEGATIVE-class scores (FAR at the
+    q-quantile threshold is then directly ~1-q), with the top half of the
+    grid log-spaced toward quantile 1.0: with sparse targets a uniform
+    all-pixel grid resolves FAR only to ~1/n, returning NaN from dr_at_far
+    on budgets like 1e-3 even though a feasible threshold exists.
     """
     s = score.reshape(-1).astype(jnp.float32)
     y = labels.reshape(-1) > 0
-    qs = jnp.linspace(0.0, 1.0, n)
-    thr = jnp.quantile(s, qs)
+    neg = s[~y]
+    # body: linear quantiles [0, 0.99]; tail: log-spaced 1 - 10^-k down to
+    # one expected pixel (quantile 1 - 1/n_neg)
+    n_body = n // 2
+    qs_body = jnp.linspace(0.0, 0.99, n_body)
+    k_max = jnp.log10(jnp.maximum(jnp.float32(neg.size), 100.0))
+    qs_tail = 1.0 - 10.0 ** (-jnp.linspace(2.0, k_max, n - n_body))
+    qs = jnp.concatenate([qs_body, qs_tail])
+    thr = jnp.quantile(neg, qs)
     pos = jnp.sum(y)
     neg = y.size - pos
 

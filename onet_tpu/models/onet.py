@@ -113,9 +113,14 @@ def stacked_head(loc, glob):
     sel = _branch_sel(loc.shape[-1])
     prod = loc.astype(jnp.float32) * glob.astype(jnp.float32)
     dims = (((prod.ndim - 1,), (0,)), ((), ()))
+    # HIGHEST so the f32 parity path stays f32 through the contraction
+    # (Precision.DEFAULT evaluates f32 matmuls at bf16 input precision on
+    # TPU); the [.., 2C]x[2C, 2] contraction is tiny, cost is negligible.
     v = jax.lax.dot_general(prod, sel, dims,
+                            precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
     lsum = jax.lax.dot_general(loc.astype(jnp.float32), sel, dims,
+                               precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
     return v, lsum
 

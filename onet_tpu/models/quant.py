@@ -115,6 +115,7 @@ def _stacked_folded_with_taps(I, fp, x, bias, policy, tap):
         y = I.conv_transpose_2x2(tap(f"up{i}.up", y), up["w"], up["b"],
                                  policy=policy)
         skip = feats[4 - i]
+        y = _pad_match(y, skip)
         tap(f"up{i}.conv1:skip", skip)
         y = jnp.concatenate([skip, tap(f"up{i}.conv1:up", y)], axis=-1)
         y = I._conv_bias_relu(y, fp[f"up{i}"]["conv"]["conv1"], policy)
@@ -124,6 +125,7 @@ def _stacked_folded_with_taps(I, fp, x, bias, policy, tap):
     up = fp["up4"]["up"]
     u = I.conv_transpose_2x2(tap("up4.up", y2s), bd2(up["w"]),
                              jnp.tile(up["b"], 2), policy=policy)
+    u = _pad_match(u, x1s)
     tap("up4.conv1:skip", x1s)
     xin = jnp.concatenate([x1s, tap("up4.conv1:up", u)], axis=-1)
     c = x1s.shape[-1] // 2
@@ -275,8 +277,25 @@ def _cbr_q(xq, site, s_next):
 
 def _pool_q(xq):
     n, h, w, c = xq.shape
+    if h % 2 or w % 2:
+        # torch MaxPool2d(2) floor semantics (layers._pool_val): NAU's 200^2
+        # reaches odd 25^2 at down3
+        xq = xq[:, : h // 2 * 2, : w // 2 * 2, :]
     xr = xq.reshape(n, h // 2, 2, w // 2, 2, c)
     return jnp.max(jnp.max(xr, axis=4), axis=2)
+
+
+def _pad_match(y, skip):
+    """Zero-pad a decoder tensor to the skip's spatial size (the reference's
+    asymmetric F.pad, Onet_vanilla_20240606.py:92-96). Zero codes decode to
+    0.0 under both unsigned and signed requantization, so the pad is exact
+    in int8 as well as bf16."""
+    dh = skip.shape[1] - y.shape[1]
+    dw = skip.shape[2] - y.shape[2]
+    if dh or dw:
+        y = jnp.pad(y, ((0, 0), (dh // 2, dh - dh // 2),
+                        (dw // 2, dw - dw // 2), (0, 0)))
+    return y
 
 
 def _convT_q(xq, site):
@@ -341,6 +360,7 @@ def onet_infer_q(q, x, *, bias: float = 0.0, head_bf16: bool = True):
         yf = _convT_q(y, q[f"up{i}.up"])
         yq = _requant_signed(yf, s[f"up{i}.conv1:up"])
         skq = feats[4 - i]
+        yq = _pad_match(yq, skq)
         xin = jnp.concatenate([skq, yq], axis=-1)
         y = _cbr_q(xin, q[f"up{i}.conv1"], s[f"up{i}.conv2"])
         yf = _conv_i8(y, q[f"up{i}.conv2"])
@@ -354,6 +374,7 @@ def onet_infer_q(q, x, *, bias: float = 0.0, head_bf16: bool = True):
             y = _requant(y2f, s["up4.up"])
     uf = _convT_q(y, q["up4.up"])
     uq = _requant_signed(uf, s["up4.conv1:up"])
+    uq = _pad_match(uq, x1q)
     xin = jnp.concatenate([x1q, uq], axis=-1)
     h = _cbr_q(xin, q["up4.conv1"], s["up4.conv2"])
     if head_bf16:

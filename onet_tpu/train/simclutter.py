@@ -114,8 +114,15 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
     if config.resume:
         ck = latest_checkpoint(config.out_root)
         if ck:
-            params, bn_state, last = load_checkpoint(ck, params, bn_state)
+            params, bn_state, last, opt_loaded = load_checkpoint(
+                ck, params, bn_state, opt_template=opt_state)
             start_epoch = last + 1
+            if opt_loaded is not None:
+                opt_state = opt_loaded
+            elif log:
+                logging.warning(
+                    "Checkpoint %s has no optimizer state; Adam moments "
+                    "and step count restart from zero", ck)
             if log:
                 logging.info("Resumed from %s (epoch %d)", ck, last)
     for epoch in range(start_epoch, config.epoch_nums):
@@ -149,14 +156,21 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
 
         autosave = (config.autosave_every
                     and epoch % config.autosave_every == 0)
-        if (epoch == config.epoch_nums - 1 or epoch in config.save_epochs
-                or autosave):
+        milestone = (epoch == config.epoch_nums - 1
+                     or epoch in config.save_epochs)
+        if milestone or autosave:
+            # autosaves live in their own filename namespace so rotation can
+            # never delete milestone/final checkpoints (or another model's)
+            tag = "epoch" if milestone else "autosave"
             path = os.path.join(
                 config.out_root,
-                f"{config.model_name}_epoch_{epoch}_{mark}.npz")
-            save_checkpoint(path, params, bn_state, epoch)
-            if autosave:
-                rotate_checkpoints(config.out_root, keep=config.autosave_keep)
+                f"{config.model_name}_{tag}_{epoch}_{mark}.npz")
+            save_checkpoint(path, params, bn_state, epoch,
+                            opt_state=opt_state)
+            if not milestone:
+                rotate_checkpoints(
+                    config.out_root, keep=config.autosave_keep,
+                    pattern=f"{config.model_name}_autosave_*.npz")
             if log:
                 logging.info("Saved checkpoint at epoch %d: %s", epoch, path)
 

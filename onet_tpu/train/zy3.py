@@ -180,12 +180,17 @@ def train(config: Zy3Config, train_ds: ArrayDataset, test_ds: ArrayDataset,
     params, bn_state = onet_init(k_model, config.in_channels,
                                  weight_share=config.weight_share,
                                  base=config.base_channels)
+    opt_state = adam_init(params)
     start_epoch = 0
     if config.restart_from:
-        params, bn_state, start_epoch = load_checkpoint(
-            config.restart_from, params, bn_state)
+        params, bn_state, start_epoch, opt_loaded = load_checkpoint(
+            config.restart_from, params, bn_state, opt_template=opt_state)
         start_epoch += 1
-    opt_state = adam_init(params)
+        if opt_loaded is not None:
+            opt_state = opt_loaded
+        elif log:
+            logging.warning("Checkpoint %s has no optimizer state; Adam "
+                            "moments restart from zero", config.restart_from)
     train_step = make_train_step(policy=policy, mesh=mesh)
     eval_batch = make_zy3_eval(policy=policy)
 
@@ -223,7 +228,8 @@ def train(config: Zy3Config, train_ds: ArrayDataset, test_ds: ArrayDataset,
         if epoch == config.epoch_nums - 1 or epoch in config.save_epochs:
             path = os.path.join(config.out_root,
                                 f"{config.model_name}_epoch{epoch}_{mark}.npz")
-            save_checkpoint(path, params, bn_state, epoch)
+            save_checkpoint(path, params, bn_state, epoch,
+                            opt_state=opt_state)
             if log:
                 logging.info("Saved checkpoint: %s", path)
 

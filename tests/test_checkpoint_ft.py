@@ -57,9 +57,11 @@ def test_driver_resume_continues_epoch_count(tmp_path):
     first = latest_checkpoint(out)
     _, _, ep = load_checkpoint(first, *onet_init(jax.random.key(0), 1, base=8))
     assert ep == 3
-    # autosave rotation bounded the directory
+    # autosave rotation bounded ITS OWN namespace; the final milestone
+    # checkpoint is outside it and survives
     import glob
-    assert len(glob.glob(os.path.join(out, "*.npz"))) <= 2
+    assert len(glob.glob(os.path.join(out, "ft_autosave_*.npz"))) <= 2
+    assert glob.glob(os.path.join(out, "ft_epoch_3_*.npz"))
     # resume with a higher target trains only the remaining epochs
     cfg = SimclutterConfig(**{**base, "epoch_nums": 6, "resume": True})
     _, _, hist = train(cfg, datasets=ds, log=False)
@@ -67,3 +69,40 @@ def test_driver_resume_continues_epoch_count(tmp_path):
     _, _, ep2 = load_checkpoint(latest_checkpoint(out),
                                 *onet_init(jax.random.key(0), 1, base=8))
     assert ep2 == 5
+
+
+def test_rotation_never_deletes_milestones(tmp_path):
+    """Autosave rotation after the final epoch must not rotate away the
+    epoch-300-style milestone (VERDICT round-2 weak item 4)."""
+    params, bn = onet_init(jax.random.key(0), 1, base=8)
+    mile = str(tmp_path / "m_epoch_300_x.npz")
+    save_checkpoint(mile, params, bn, 300)
+    os.utime(mile, (1000, 1000))  # oldest file in the directory
+    for i in range(4):
+        p = str(tmp_path / f"m_autosave_{301 + i}_x.npz")
+        save_checkpoint(p, params, bn, 301 + i)
+        os.utime(p, (2000 + i, 2000 + i))
+    deleted = rotate_checkpoints(str(tmp_path), keep=2,
+                                 pattern="m_autosave_*.npz")
+    assert os.path.exists(mile)
+    assert all("autosave" in d for d in deleted)
+
+
+def test_optimizer_state_round_trip(tmp_path):
+    from onet_tpu.train.optim import adam_init, adam_update
+
+    params, bn = onet_init(jax.random.key(0), 1, base=8)
+    opt = adam_init(params)
+    grads = jax.tree.map(lambda p: jax.numpy.ones_like(p) * 0.01, params)
+    _, opt = adam_update(grads, opt, 1e-3)  # non-trivial moments, count=1
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, params, bn, 5, opt_state=opt)
+    p2, b2, ep, opt2 = load_checkpoint(path, params, bn, opt_template=opt)
+    assert ep == 5 and opt2 is not None
+    for a, b in zip(jax.tree.leaves(opt), jax.tree.leaves(opt2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # pre-optimizer-state checkpoints stay loadable and flag opt as missing
+    old = str(tmp_path / "old.npz")
+    save_checkpoint(old, params, bn, 5)
+    _, _, _, opt3 = load_checkpoint(old, params, bn, opt_template=opt)
+    assert opt3 is None

@@ -69,6 +69,25 @@ def test_weight_quantization_roundtrip():
     assert float(jnp.max(err)) <= float(jnp.max(sw)) * 0.5 + 1e-7
 
 
+def test_quant_odd_feature_shapes():
+    """NAU-style inputs whose feature maps go odd mid-net (200^2 -> 25^2 at
+    down3): _pool_q floor-crops and the decoder pads to the skip size, like
+    layers._pool_val / unet_infer_stacked (ADVICE r2: the int8 path crashed
+    on these shapes)."""
+    params, bn = onet_init(jax.random.key(5), 1, base=8)
+    folded = fold_onet(params, bn)
+    x = jax.random.uniform(jax.random.key(6), (2, 50, 50, 1))
+    scales = calibrate(folded, x)          # taps mirror must also pad
+    q = quantize_folded(folded, scales)
+    s, labels = onet_infer_q(q, x)
+    assert labels.shape == (2, 50, 50)
+    assert bool(jnp.all(jnp.isfinite(s)))
+    # agreement with the bf16 graph holds on the padded shapes too
+    _, lab_bf = onet_infer(folded, x, policy=BF16_COMPUTE)
+    agree = float(jnp.mean((labels == lab_bf).astype(jnp.float32)))
+    assert agree >= 0.9, f"mask agreement {agree:.4f}"
+
+
 def test_quant_three_channel_zy3_shape():
     # ZY-3 path: cin=3 RGB; the stacked input is 6-channel
     params, bn = onet_init(jax.random.key(5), 3, base=8)
