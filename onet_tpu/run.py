@@ -43,6 +43,13 @@ def main(argv=None):
         if name == "zy3":
             p.add_argument("--train-file", default=None)
             p.add_argument("--test-file", default=None)
+            p.add_argument("--cloud-addition", action="store_true",
+                           help="train on cloud-addition composites "
+                                "(terrain + synthetic clouds; reference "
+                                "CloudDataset_CloudAddition, dataloader/"
+                                "zy3_cloud_thumbnailv5_20240304.py:262-309)")
+            p.add_argument("--n-train", type=int, default=64)
+            p.add_argument("--n-test", type=int, default=16)
         if name == "nau":
             p.add_argument("--model", default=None)
             p.add_argument("--test-file", default=None)
@@ -230,19 +237,40 @@ def main(argv=None):
         cfg_yaml = generate_config(args.config, "zy3", argv=[])
         from onet_tpu.train.zy3 import Zy3Config, train
         from onet_tpu.data.zy3 import load_zy3_dict_pt, synthesize_zy3
-        train_file = args.train_file or os.path.join(
-            cfg_yaml.dataset_root, cfg_yaml.train_file)
-        test_file = args.test_file or os.path.join(
-            cfg_yaml.dataset_root, cfg_yaml.test_file)
-        if os.path.exists(train_file) and os.path.exists(test_file):
-            train_ds, _ = load_zy3_dict_pt(train_file)
-            test_ds, test_ids = load_zy3_dict_pt(test_file)
+        if args.cloud_addition:
+            # cloud-addition workload: unsupervised training on composite
+            # scenes (clean terrain + synthetic clouds) whose masks are
+            # known by construction, so eval is exact. Reference dataset
+            # class: CloudDataset_CloudAddition + its loader
+            # (dataloader/zy3_cloud_thumbnailv5_20240304.py:262-309,338).
+            from onet_tpu.data.zy3 import synthesize_cloud_addition
+            from onet_tpu.data.arrays import ArrayDataset
+            tr, _ = synthesize_cloud_addition(jax.random.key(0),
+                                              n=args.n_train)
+            train_ds = ArrayDataset({"imgs": tr["imgs"],
+                                     "labels": tr["labels"]})
+            te, test_ids = synthesize_cloud_addition(jax.random.key(1),
+                                                     n=args.n_test)
+            test_ds = ArrayDataset({"imgs": te["imgs"],
+                                    "labels": te["labels"]})
+            print(f"[zy3] cloud-addition composites: {args.n_train} train / "
+                  f"{args.n_test} test")
         else:
-            print("[zy3] reference .pt files not found - using synthetic scenes")
-            train_ds, _ = synthesize_zy3(jax.random.key(0), n=64)
-            test_ds, test_ids = synthesize_zy3(jax.random.key(1), n=16)
+            train_file = args.train_file or os.path.join(
+                cfg_yaml.dataset_root, cfg_yaml.train_file)
+            test_file = args.test_file or os.path.join(
+                cfg_yaml.dataset_root, cfg_yaml.test_file)
+            if os.path.exists(train_file) and os.path.exists(test_file):
+                train_ds, _ = load_zy3_dict_pt(train_file)
+                test_ds, test_ids = load_zy3_dict_pt(test_file)
+            else:
+                print("[zy3] reference .pt files not found - "
+                      "using synthetic scenes")
+                train_ds, _ = synthesize_zy3(jax.random.key(0), n=64)
+                test_ds, test_ids = synthesize_zy3(jax.random.key(1), n=16)
         cfg = Zy3Config(
-            model_name=cfg_yaml.model_name,
+            model_name=(cfg_yaml.model_name + "_cloudadd"
+                        if args.cloud_addition else cfg_yaml.model_name),
             epoch_nums=args.epochs or cfg_yaml.epoch_nums,
             batch_sz=args.batch_sz or cfg_yaml.batch_sz,
             aug=bool(cfg_yaml.aug),

@@ -112,3 +112,25 @@ def test_cli_serve_tiled_scene(tmp_path, capsys):
               "--tile", "48", "--halo", "16"])
     with np.load(out) as z:
         assert z["masks"].shape == (2, 80, 96)
+
+
+def test_cli_zy3_cloud_addition(tmp_path, capsys, monkeypatch):
+    """The cloud-addition composite dataset drives a LIVE training run
+    (reference CloudDataset_CloudAddition had no consumer until round 3):
+    2 epochs on tiny composites, eval against the known synthetic masks."""
+    from onet_tpu import run as cli
+    import onet_tpu.data.zy3 as Z
+
+    real = Z.synthesize_cloud_addition
+
+    def tiny(key, n=8, size=224, **kw):
+        return real(key, n=min(n, 6), size=32)
+
+    monkeypatch.setattr("onet_tpu.data.zy3.synthesize_cloud_addition", tiny)
+    cli.main(["zy3", "--cloud-addition", "--epochs", "2", "--batch-sz", "3",
+              "--base-channels", "8", "--fp32",
+              "--out-root", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "cloud-addition composites" in out
+    assert "report:" in out          # the xlsx report path printed
+    assert "cloudadd" in out or os.path.exists(str(tmp_path))
