@@ -18,6 +18,7 @@ the harmonic mean of train and infer rates weighted 1:1.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -27,6 +28,13 @@ import jax
 from onet_tpu.core.cache import enable_compilation_cache
 
 enable_compilation_cache()
+
+# in-graph A/B knob: ONET_PAIR_PACK=1 routes the 512^2 levels through the
+# Pallas pair-packed kernels (models/wp.py); default = the measured-fastest
+# configuration (see RESULTS.md round 3)
+if os.environ.get("ONET_PAIR_PACK"):
+    import onet_tpu.models.onet as _onet
+    _onet.PAIR_PACK = os.environ["ONET_PAIR_PACK"] == "1"
 
 import jax.numpy as jnp
 

@@ -148,12 +148,23 @@ def unet_infer_stacked(fp, x, *, policy: Policy = BF16_COMPUTE):
 
 
 def onet_infer(folded, x, *, bias: float = 0.0,
-               policy: Policy = BF16_COMPUTE, channel_stack: bool = None):
+               policy: Policy = BF16_COMPUTE, channel_stack: bool = None,
+               pair_pack: bool = None):
     """Folded-forward -> (S [B,H,W,2], labels [B,H,W])."""
-    from onet_tpu.models.onet import CHANNEL_STACK, stacked_head
+    from onet_tpu.models.onet import CHANNEL_STACK, PAIR_PACK, stacked_head
 
     xd = complement(x, bias)
     stack = CHANNEL_STACK if channel_stack is None else channel_stack
+    wp = PAIR_PACK if pair_pack is None else pair_pack
+    if "down" not in folded and wp:
+        from onet_tpu.models.wp import unet_infer_wp, head_wp, wp_supported
+        base = folded["top"]["inc"]["conv1"]["w"].shape[-1]
+        if wp_supported(x.shape, base):
+            xx = jnp.concatenate([x, xd], axis=-1)
+            loc_wp, glob_wp = unet_infer_wp(folded["top"], xx, policy=policy)
+            v, _ = head_wp(loc_wp, glob_wp)
+            s = jax.nn.softmax(v, axis=-1)
+            return s, jnp.argmax(s, axis=-1)
     if "down" not in folded and stack:
         xx = jnp.concatenate([x, xd], axis=-1)
         loc, glob = unet_infer_stacked(folded["top"], xx, policy=policy)

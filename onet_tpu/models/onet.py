@@ -40,6 +40,12 @@ from onet_tpu.ops.normalize import complement
 # for A/B benchmarking.
 CHANNEL_STACK = True
 
+# Width-pair-packed 512^2 levels on the Pallas kernels (models/wp.py):
+# kills the block-diagonal 2x-FLOP tax at the 64-channel sites and fuses
+# the BatchNorm statistics into the conv epilogues. Applies only where
+# wp_supported() (production geometry); trace-time switch.
+PAIR_PACK = False
+
 
 class OnetOutput(NamedTuple):
     Lt: jnp.ndarray  # [B, H, W, 64] local features, top branch
@@ -127,10 +133,28 @@ def stacked_head(loc, glob):
 
 def onet_forward(params, state, x, *, train: bool, bias: float = 0.0,
                  policy: Policy = DEFAULT, reshard=None,
-                 channel_stack: bool = None, ops=DEFAULT_OPS):
+                 channel_stack: bool = None, pair_pack: bool = None,
+                 ops=DEFAULT_OPS):
     """Forward pass on an NHWC batch in [0, 1]. Returns (OnetOutput, state)."""
     xd = complement(x, bias)
     stack = CHANNEL_STACK if channel_stack is None else channel_stack
+    wp = PAIR_PACK if pair_pack is None else pair_pack
+    if is_weight_shared(params) and wp and reshard is None and ops is DEFAULT_OPS:
+        from onet_tpu.models.wp import unet_apply_wp, head_wp, wp_supported
+        base = params["top"]["inc"]["conv1"]["w"].shape[-1]
+        if wp_supported(x.shape, base):
+            xx = jnp.concatenate([x, xd], axis=-1)
+            (loc_wp, glob_wp), new_top = unet_apply_wp(
+                params["top"], state["top"], xx, train=train, policy=policy)
+            v, lsum = head_wp(loc_wp, glob_wp)
+            s = jax.nn.softmax(v, axis=-1)
+            b = x.shape[0]
+            n, h, wpc, _ = loc_wp.shape
+            return OnetOutput(
+                Lt=loc_wp[:b].reshape(b, h, 2 * wpc, 64),
+                Ld=loc_wp[b:].reshape(b, h, 2 * wpc, 64),
+                Vt=v[..., 0], Vd=v[..., 1], S=s,
+                Lsum=lsum), {"top": new_top}
     if is_weight_shared(params) and stack:
         xx = jnp.concatenate([x, xd], axis=-1)  # [B, H, W, 2C]
         (loc, glob), new_top = unet_apply_stacked(

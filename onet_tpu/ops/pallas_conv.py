@@ -110,43 +110,51 @@ def flip_transpose(w: jnp.ndarray) -> jnp.ndarray:
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _load_row_window(x_hbm, xs, sem, n, hb, r0, rblk, hblk, wp):
-    """DMA rows [r0-1, r0+rblk+1) of sample n into xs, zeroing out-of-image
-    halo rows. hblk is a Python int, so impossible branches are never
-    traced (their slices would be out of bounds)."""
-    if hblk == 1:
-        cp = pltpu.make_async_copy(
-            x_hbm.at[n, pl.ds(0, rblk)], xs.at[pl.ds(1, rblk)], sem)
-        cp.start()
-        xs[0] = jnp.zeros(xs.shape[1:], xs.dtype)
-        xs[rblk + 1] = jnp.zeros(xs.shape[1:], xs.dtype)
-        cp.wait()
-        return
+def _fill_row_window(x_any, xb_ref, xs, sem, n, hb, r0, rblk, hblk):
+    """Assemble the [rblk+2]-row window in scratch ``xs``: the bulk rows
+    come from the auto-pipelined VMEM block ``xb_ref`` (Mosaic overlaps its
+    HBM fetch across grid steps); only the TWO halo rows are fetched
+    manually from ``x_any`` (or zeroed at image bounds). The manual DMAs
+    start first, the bulk VMEM copy proceeds under them, then both waits."""
+    top = hb > 0
+    bot = hb < hblk - 1
+    zero_row = jnp.zeros(xs.shape[1:], xs.dtype)
+    if hblk > 1:
+        @pl.when(top)
+        def _():
+            pltpu.make_async_copy(x_any.at[n, pl.ds(r0 - 1, 1)],
+                                  xs.at[pl.ds(0, 1)], sem.at[0]).start()
 
-    @pl.when(hb == 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[n, pl.ds(0, rblk + 1)], xs.at[pl.ds(1, rblk + 1)], sem)
-        cp.start()
-        xs[0] = jnp.zeros(xs.shape[1:], xs.dtype)
-        cp.wait()
+        @pl.when(bot)
+        def _():
+            pltpu.make_async_copy(x_any.at[n, pl.ds(r0 + rblk, 1)],
+                                  xs.at[pl.ds(rblk + 1, 1)],
+                                  sem.at[1]).start()
 
-    @pl.when(hb == hblk - 1)
-    def _():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[n, pl.ds(r0 - 1, rblk + 1)], xs.at[pl.ds(0, rblk + 1)],
-            sem)
-        cp.start()
-        xs[rblk + 1] = jnp.zeros(xs.shape[1:], xs.dtype)
-        cp.wait()
+    xs[1:rblk + 1] = xb_ref[0]
 
-    @pl.when(jnp.logical_and(hb > 0, hb < hblk - 1))
-    def _():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[n, pl.ds(r0 - 1, rblk + 2)], xs.at[pl.ds(0, rblk + 2)],
-            sem)
-        cp.start()
-        cp.wait()
+    if hblk > 1:
+        @pl.when(jnp.logical_not(top))
+        def _():
+            xs[0] = zero_row
+
+        @pl.when(jnp.logical_not(bot))
+        def _():
+            xs[rblk + 1] = zero_row
+
+        @pl.when(top)
+        def _():
+            pltpu.make_async_copy(x_any.at[n, pl.ds(r0 - 1, 1)],
+                                  xs.at[pl.ds(0, 1)], sem.at[0]).wait()
+
+        @pl.when(bot)
+        def _():
+            pltpu.make_async_copy(x_any.at[n, pl.ds(r0 + rblk, 1)],
+                                  xs.at[pl.ds(rblk + 1, 1)],
+                                  sem.at[1]).wait()
+    else:
+        xs[0] = zero_row
+        xs[rblk + 1] = zero_row
 
 
 # perf-probe knob (bench only — wrong numerics except ""): "noae" skips the
@@ -155,28 +163,29 @@ def _load_row_window(x_hbm, xs, sem, n, hb, r0, rblk, hblk, wp):
 _PROBE = ""
 
 
-def _fwd_kernel(x_hbm, wc_ref, we_ref, y_ref, s1_ref, s2_ref,
-                xs, ae, sem, *, rblk, hblk, wp, stats):
+def _build_ae(xs, ae, wp, rblk):
+    """ae[:, j] = [x[:, j-1, C:] | x[:, j+1, :C]] (cross-pair operand)."""
+    ae[:, 1:, :C] = xs[:, : wp - 1, C:]
+    ae[:, 0, :C] = jnp.zeros((rblk + 2, C), xs.dtype)
+    ae[:, : wp - 1, C:] = xs[:, 1:, :C]
+    ae[:, wp - 1, C:] = jnp.zeros((rblk + 2, C), xs.dtype)
+
+
+def _fwd_kernel(x_any, xb_ref, wc_ref, we_ref, b_ref, y_ref, s1_ref,
+                s2_ref, xs, ae, sem, *, rblk, hblk, wp, stats, bias_relu):
     """One grid step: output rows [hb*rblk, (hb+1)*rblk) of sample n.
 
     xs: VMEM scratch [rblk+2, wp, L] — the row window incl. halo.
     ae: VMEM scratch [rblk+2, wp, L] — the cross-pair (edge) operand.
     """
-    i = pl.program_id(0)
-    n = i // hblk
-    hb = i % hblk
+    n = pl.program_id(0)
+    hb = pl.program_id(1)
     r0 = hb * rblk
 
-    # --- row window DMA (sync; halo rows clamped at image bounds;
-    # hblk is static, so the single-block case compiles its own path) ------
-    _load_row_window(x_hbm, xs, sem, n, hb, r0, rblk, hblk, wp)
+    _fill_row_window(x_any, xb_ref, xs, sem, n, hb, r0, rblk, hblk)
 
-    # --- edge operand: ae[:, j] = [x[:, j-1, C:] | x[:, j+1, :C]] ---------
     if _PROBE != "noae":
-        ae[:, 1:, :C] = xs[:, : wp - 1, C:]
-        ae[:, 0, :C] = jnp.zeros((rblk + 2, C), xs.dtype)
-        ae[:, : wp - 1, C:] = xs[:, 1:, :C]
-        ae[:, wp - 1, C:] = jnp.zeros((rblk + 2, C), xs.dtype)
+        _build_ae(xs, ae, wp, rblk)
 
     # --- 6 dense matmuls ---------------------------------------------------
     m = rblk * wp
@@ -189,6 +198,9 @@ def _fwd_kernel(x_hbm, wc_ref, we_ref, y_ref, s1_ref, s2_ref,
             acc += jnp.dot(xe, we_ref[di],
                            preferred_element_type=jnp.float32)
 
+    if bias_relu:
+        # serving epilogue: bias add + ReLU fused into the conv store
+        acc = jnp.maximum(acc + b_ref[0].astype(jnp.float32), 0.0)
     y_ref[0] = acc.reshape(rblk, wp, L).astype(y_ref.dtype)
 
     if stats:
@@ -206,44 +218,109 @@ def _fwd_kernel(x_hbm, wc_ref, we_ref, y_ref, s1_ref, s2_ref,
             s2_ref[0, 0] += s2
 
 
-def conv3x3_wp_raw(x, wc, we, *, rblk: int = 16, stats: bool = False,
-                   out_dtype=None, interpret: bool = False):
-    """Pair-packed SAME 3x3 conv.
+def _fwd2_kernel(xa_any, xa_ref, xb_any, xb_ref, wca_ref, wea_ref,
+                 wcb_ref, web_ref, b_ref, y_ref, s1_ref, s2_ref,
+                 xs, ae, sem, *, rblk, hblk, wp, stats, bias_relu):
+    """Two-input variant: y = conv(xa, wa) + conv(xb, wb) — the decoder's
+    concat(skip, up) conv WITHOUT materializing the concat (the two
+    128-lane packed operands each contribute 6 matmuls). xs/ae scratch is
+    shared serially between the inputs."""
+    n = pl.program_id(0)
+    hb = pl.program_id(1)
+    r0 = hb * rblk
+    m = rblk * wp
+    acc = jnp.zeros((m, L), jnp.float32)
 
-    x: [N, H, Wp, 128] (packed); wc/we: [3, 128, 128] from make_wc_we.
-    Returns y [N, H, Wp, 128] (out_dtype, default x.dtype); with
-    ``stats=True`` also per-sample lane sums (s1, s2) each [N, 1, 128] f32
-    (sum and sum-of-squares of the f32 conv output over that sample's
-    pixels — reduce over batch slices for BatchNorm batch statistics).
-    """
-    n, h, wp, l = x.shape
-    assert l == L, x.shape
-    while h % rblk:
-        rblk //= 2
-    hblk = h // rblk
-    out_dtype = out_dtype or x.dtype
+    for x_any, x_ref, wc_ref, we_ref in (
+            (xa_any, xa_ref, wca_ref, wea_ref),
+            (xb_any, xb_ref, wcb_ref, web_ref)):
+        _fill_row_window(x_any, x_ref, xs, sem, n, hb, r0, rblk, hblk)
+        _build_ae(xs, ae, wp, rblk)
+        for di in range(3):
+            xc = xs[di:di + rblk].reshape(m, L)
+            xe = ae[di:di + rblk].reshape(m, L)
+            acc += jnp.dot(xc, wc_ref[di],
+                           preferred_element_type=jnp.float32)
+            acc += jnp.dot(xe, we_ref[di],
+                           preferred_element_type=jnp.float32)
 
-    kern = functools.partial(_fwd_kernel, rblk=rblk, hblk=hblk, wp=wp,
-                             stats=stats)
+    if bias_relu:
+        acc = jnp.maximum(acc + b_ref[0].astype(jnp.float32), 0.0)
+    y_ref[0] = acc.reshape(rblk, wp, L).astype(y_ref.dtype)
+
+    if stats:
+        s1 = jnp.sum(acc, axis=0)
+        s2 = jnp.sum(jnp.square(acc), axis=0)
+
+        @pl.when(hb == 0)
+        def _():
+            s1_ref[0, 0] = s1
+            s2_ref[0, 0] = s2
+
+        @pl.when(hb > 0)
+        def _():
+            s1_ref[0, 0] += s1
+            s2_ref[0, 0] += s2
+
+
+def _out_plumbing(n, h, wp, rblk, hblk, out_dtype):
     out_shape = [
         jax.ShapeDtypeStruct((n, h, wp, L), out_dtype),
         jax.ShapeDtypeStruct((n, 1, L), jnp.float32),
         jax.ShapeDtypeStruct((n, 1, L), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((1, rblk, wp, L),
-                     lambda i: (i // hblk, i % hblk, 0, 0),
+        pl.BlockSpec((1, rblk, wp, L), lambda n, hb: (n, hb, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, L), lambda i: (i // hblk, 0, 0),
+        pl.BlockSpec((1, 1, L), lambda n, hb: (n, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, L), lambda i: (i // hblk, 0, 0),
+        pl.BlockSpec((1, 1, L), lambda n, hb: (n, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    return out_shape, out_specs
+
+
+def _pick_rblk(h, rblk):
+    while h % rblk:
+        rblk //= 2
+    assert rblk >= 1, h
+    return rblk
+
+
+def conv3x3_wp_raw(x, wc, we, *, bias=None, rblk: int = 16,
+                   stats: bool = False, bias_relu: bool = False,
+                   out_dtype=None, interpret: bool = False):
+    """Pair-packed SAME 3x3 conv.
+
+    x: [N, H, Wp, 128] (packed); wc/we: [3, 128, 128] from make_wc_we.
+    Returns y [N, H, Wp, 128] (out_dtype, default x.dtype); with
+    ``stats=True`` also per-sample lane sums (s1, s2) each [N, 128] f32
+    (sum and sum-of-squares of the f32 conv output over that sample's
+    pixels — reduce over batch slices for BatchNorm batch statistics).
+    ``bias_relu=True`` fuses max(acc + bias, 0) into the store (serving
+    epilogue); ``bias`` is a [128] packed vector.
+    """
+    n, h, wp, l = x.shape
+    assert l == L, x.shape
+    rblk = _pick_rblk(h, rblk)
+    hblk = h // rblk
+    out_dtype = out_dtype or x.dtype
+    if bias is None:
+        bias = jnp.zeros((L,), jnp.float32)
+    bias = bias.reshape(1, L).astype(jnp.float32)
+
+    kern = functools.partial(_fwd_kernel, rblk=rblk, hblk=hblk, wp=wp,
+                             stats=stats, bias_relu=bias_relu)
+    out_shape, out_specs = _out_plumbing(n, h, wp, rblk, hblk, out_dtype)
     y, s1, s2 = pl.pallas_call(
         kern,
-        grid=(n * hblk,),
+        grid=(n, hblk),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),       # halo-row fetches
+            pl.BlockSpec((1, rblk, wp, L),           # bulk rows, pipelined
+                         lambda n, hb: (n, hb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -252,10 +329,10 @@ def conv3x3_wp_raw(x, wc, we, *, rblk: int = 16, stats: bool = False,
         scratch_shapes=[
             pltpu.VMEM((rblk + 2, wp, L), x.dtype),
             pltpu.VMEM((rblk + 2, wp, L), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * wp * L * L * 6,
             bytes_accessed=int(x.size * x.dtype.itemsize * (1 + 2 / rblk)
@@ -263,7 +340,64 @@ def conv3x3_wp_raw(x, wc, we, *, rblk: int = 16, stats: bool = False,
                                * jnp.dtype(out_dtype).itemsize),
             transcendentals=0),
         interpret=interpret,
-    )(x, wc, we)
+    )(x, x, wc, we, bias)
+    if stats:
+        return y, s1[:, 0, :], s2[:, 0, :]
+    return y
+
+
+def conv3x3_wp2_raw(xa, xb, wca, wea, wcb, web, *, bias=None,
+                    rblk: int = 16, stats: bool = False,
+                    bias_relu: bool = False, out_dtype=None,
+                    interpret: bool = False):
+    """Two-input pair-packed conv: y = conv(xa, wa) + conv(xb, wb) [+ bias,
+    relu] — the decoder's concat(skip, up) conv with NO concat
+    materialization. Same output contract as conv3x3_wp_raw."""
+    n, h, wp, l = xa.shape
+    assert l == L and xb.shape == xa.shape, (xa.shape, xb.shape)
+    rblk = _pick_rblk(h, rblk)
+    hblk = h // rblk
+    out_dtype = out_dtype or xa.dtype
+    if bias is None:
+        bias = jnp.zeros((L,), jnp.float32)
+    bias = bias.reshape(1, L).astype(jnp.float32)
+
+    kern = functools.partial(_fwd2_kernel, rblk=rblk, hblk=hblk, wp=wp,
+                             stats=stats, bias_relu=bias_relu)
+    out_shape, out_specs = _out_plumbing(n, h, wp, rblk, hblk, out_dtype)
+    blocked = pl.BlockSpec((1, rblk, wp, L),
+                           lambda n, hb: (n, hb, 0, 0),
+                           memory_space=pltpu.VMEM)
+    y, s1, s2 = pl.pallas_call(
+        kern,
+        grid=(n, hblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY), blocked,
+            pl.BlockSpec(memory_space=pl.ANY), blocked,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((rblk + 2, wp, L), xa.dtype),
+            pltpu.VMEM((rblk + 2, wp, L), xa.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * wp * L * L * 12,
+            bytes_accessed=int(2 * xa.size * xa.dtype.itemsize
+                               * (1 + 2 / rblk)
+                               + n * h * wp * L
+                               * jnp.dtype(out_dtype).itemsize),
+            transcendentals=0),
+        interpret=interpret,
+    )(xa, xa, xb, xb, wca, wea, wcb, web, bias)
     if stats:
         return y, s1[:, 0, :], s2[:, 0, :]
     return y
@@ -273,15 +407,14 @@ def conv3x3_wp_raw(x, wc, we, *, rblk: int = 16, stats: bool = False,
 # weight-gradient kernel
 # ---------------------------------------------------------------------------
 
-def _dw_kernel(x_hbm, dy_ref, gc_ref, ge_ref, xs, ae, sem,
+def _dw_kernel(x_any, xb_ref, dy_ref, gc_ref, ge_ref, xs, ae, sem,
                *, rblk, hblk, wp):
     """Accumulate Gc[di] += xc^T dy, Ge[di] += ae^T dy over all blocks."""
-    i = pl.program_id(0)
-    n = i // hblk
-    hb = i % hblk
+    n = pl.program_id(0)
+    hb = pl.program_id(1)
     r0 = hb * rblk
 
-    _load_row_window(x_hbm, xs, sem, n, hb, r0, rblk, hblk, wp)
+    _fill_row_window(x_any, xb_ref, xs, sem, n, hb, r0, rblk, hblk)
 
     ae[:, 1:, :C] = xs[:, : wp - 1, C:]
     ae[:, 0, :C] = jnp.zeros((rblk + 2, C), xs.dtype)
@@ -292,7 +425,7 @@ def _dw_kernel(x_hbm, dy_ref, gc_ref, ge_ref, xs, ae, sem,
     dy = dy_ref[0].reshape(m, L)
     dims = (((0,), (0,)), ((), ()))
 
-    @pl.when(i == 0)
+    @pl.when(jnp.logical_and(n == 0, hb == 0))
     def _():
         gc_ref[...] = jnp.zeros_like(gc_ref)
         ge_ref[...] = jnp.zeros_like(ge_ref)
@@ -319,11 +452,14 @@ def conv3x3_wp_dw(x, dy, *, rblk: int = 16, interpret: bool = False):
     kern = functools.partial(_dw_kernel, rblk=rblk, hblk=hblk, wp=wp)
     gc, ge = pl.pallas_call(
         kern,
-        grid=(n * hblk,),
+        grid=(n, hblk),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),       # halo-row fetches
+            pl.BlockSpec((1, rblk, wp, L),           # bulk rows, pipelined
+                         lambda n, hb: (n, hb, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rblk, wp, L),
-                         lambda i: (i // hblk, i % hblk, 0, 0),
+                         lambda n, hb: (n, hb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -331,24 +467,24 @@ def conv3x3_wp_dw(x, dy, *, rblk: int = 16, interpret: bool = False):
             jax.ShapeDtypeStruct((3, L, L), jnp.float32),
         ],
         out_specs=[
-            pl.BlockSpec((3, L, L), lambda i: (0, 0, 0),
+            pl.BlockSpec((3, L, L), lambda n, hb: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, L, L), lambda i: (0, 0, 0),
+            pl.BlockSpec((3, L, L), lambda n, hb: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((rblk + 2, wp, L), x.dtype),
             pltpu.VMEM((rblk + 2, wp, L), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * wp * L * L * 6,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(x, dy)
+    )(x, x, dy)
 
     # assemble the 9 taps from the quadrants (two partial sums per tap)
     dw = jnp.stack([
@@ -398,3 +534,37 @@ def _conv_wp_bwd(res, cts):
 
 
 conv3x3_wp.defvjp(_conv_wp_fwd, _conv_wp_bwd)
+
+
+@jax.custom_vjp
+def conv3x3_wp2(xa, xb, wa, wb):
+    """Differentiable two-input pair-packed conv with fused BN-stats:
+    y = conv(xa, wa) + conv(xb, wb) — the decoder conv over concat(skip,
+    up) with the concat never materialized. wa/wb: [3, 3, 64, 64] HWIO
+    (the [3, 3, 128, 64] concat weight split at row 64). Returns
+    (y, s1, s2) like conv3x3_wp."""
+    dt = xa.dtype
+    wca, wea = make_wc_we(wa, dtype=dt)
+    wcb, web = make_wc_we(wb, dtype=dt)
+    return conv3x3_wp2_raw(xa, xb, wca, wea, wcb, web, stats=True,
+                           interpret=INTERPRET)
+
+
+def _conv_wp2_fwd(xa, xb, wa, wb):
+    return conv3x3_wp2(xa, xb, wa, wb), (xa, xb, wa, wb)
+
+
+def _conv_wp2_bwd(res, cts):
+    xa, xb, wa, wb = res
+    dy, _ds1, _ds2 = cts
+    dy = dy.astype(xa.dtype)
+    wtca, wtea = make_wc_we(flip_transpose(wa), dtype=dy.dtype)
+    wtcb, wteb = make_wc_we(flip_transpose(wb), dtype=dy.dtype)
+    dxa = conv3x3_wp_raw(dy, wtca, wtea, stats=False, interpret=INTERPRET)
+    dxb = conv3x3_wp_raw(dy, wtcb, wteb, stats=False, interpret=INTERPRET)
+    dwa = conv3x3_wp_dw(xa, dy, interpret=INTERPRET).astype(wa.dtype)
+    dwb = conv3x3_wp_dw(xb, dy, interpret=INTERPRET).astype(wb.dtype)
+    return dxa, dxb, dwa, dwb
+
+
+conv3x3_wp2.defvjp(_conv_wp2_fwd, _conv_wp2_bwd)

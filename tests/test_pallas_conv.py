@@ -91,3 +91,53 @@ def test_flip_transpose_is_vjp_weight():
     lhs = jnp.sum(_ref_conv(x, wt) * g)
     rhs = jnp.sum(x * _ref_conv(g, PC.flip_transpose(wt)))
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-5)
+
+
+def test_two_input_conv_matches_concat_conv():
+    """conv3x3_wp2(skip, up, wa, wb) == conv over concat(skip, up) with the
+    [3,3,128,64] weight split at input-channel 64 — forward and grads."""
+    rng = np.random.default_rng(3)
+    n, h, w = 2, 16, 32
+    xa = jnp.asarray(rng.normal(size=(n, h, w, 64)).astype(np.float32))
+    xb = jnp.asarray(rng.normal(size=(n, h, w, 64)).astype(np.float32))
+    wfull = jnp.asarray((rng.normal(size=(3, 3, 128, 64)) * 0.05)
+                        .astype(np.float32))
+    ref = _ref_conv(jnp.concatenate([xa, xb], axis=-1), wfull)
+
+    ap = xa.reshape(n, h, w // 2, 128)
+    bp = xb.reshape(n, h, w // 2, 128)
+    y, s1, s2 = PC.conv3x3_wp2(ap, bp, wfull[:, :, :64], wfull[:, :, 64:])
+    np.testing.assert_allclose(np.asarray(y.reshape(n, h, w, 64)),
+                               np.asarray(ref), atol=3e-5, rtol=1e-5)
+
+    def loss_p(ap, bp, wf):
+        y, _, _ = PC.conv3x3_wp2(ap, bp, wf[:, :, :64], wf[:, :, 64:])
+        return jnp.sum(jnp.sin(y))
+
+    def loss_r(xa, xb, wf):
+        return jnp.sum(jnp.sin(_ref_conv(jnp.concatenate([xa, xb], -1), wf)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(ap, bp, wfull)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(xa, xb, wfull)
+    np.testing.assert_allclose(np.asarray(gp[0].reshape(n, h, w, 64)),
+                               np.asarray(gr[0]), atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1].reshape(n, h, w, 64)),
+                               np.asarray(gr[1]), atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[2]), np.asarray(gr[2]),
+                               atol=2e-3, rtol=1e-4)
+
+
+def test_bias_relu_epilogue():
+    rng = np.random.default_rng(4)
+    n, h, w = 1, 16, 32
+    x = jnp.asarray(rng.normal(size=(n, h, w, 64)).astype(np.float32))
+    wt = jnp.asarray((rng.normal(size=(3, 3, 64, 64)) * 0.1)
+                     .astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    ref = jnp.maximum(_ref_conv(x, wt) + b, 0.0)
+    wc, we = PC.make_wc_we(wt, dtype=x.dtype)
+    y = PC.conv3x3_wp_raw(x.reshape(n, h, w // 2, 128), wc, we,
+                          bias=jnp.tile(b, 2), bias_relu=True,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(y.reshape(n, h, w, 64)),
+                               np.asarray(ref), atol=2e-5, rtol=1e-5)
