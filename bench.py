@@ -91,6 +91,28 @@ def main():
         train_trials.append(BATCH * ITERS / (time.perf_counter() - t0))
     train_rate = max(train_trials)
 
+    # opt-in int8-training detail lines (models/qtrain.py; headline stays
+    # the exact bf16 train — the parity contract)
+    qtrain = {}
+    for level in ("fwd", "fwd+dx"):
+        try:
+            qstep = make_train_step(policy=BF16_COMPUTE, quantized=level)
+            qp, qb = onet_init(jax.random.key(1981), 1)
+            qo = adam_init(qp)
+            qp, qb, qo, ql = qstep(qp, qb, qo, x, 1e-5)
+            float(ql)
+            best = 0.0
+            for _ in range(TRIALS):
+                t0 = time.perf_counter()
+                for _ in range(ITERS):
+                    qp, qb, qo, ql = qstep(qp, qb, qo, x, 1e-5)
+                float(ql)
+                best = max(best,
+                           BATCH * ITERS / (time.perf_counter() - t0))
+            qtrain[level] = round(best, 2)
+        except Exception as e:  # noqa: BLE001 — reported, not swallowed
+            qtrain[level] = f"error: {type(e).__name__}: {e}"[:200]
+
     folded = jax.jit(fold_onet)(params, bn_state)
     infer_trials = []
     for _ in range(TRIALS):
@@ -143,6 +165,7 @@ def main():
                    "combined_int8_serving": (round(combined_int8, 2)
                                              if combined_int8 else None),
                    "int8_error": int8_error,
+                   "train_int8_tiles_per_s": qtrain,
                    # all trials (best is the headline: axon tunnel weather
                    # causes multi-minute dips; median shows the variance)
                    "train_trials": [round(t, 2) for t in train_trials],

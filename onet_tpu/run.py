@@ -60,6 +60,11 @@ def main(argv=None):
             p.add_argument("--data-file", default=None,
                            help="reference-format .pt/.npz dataset "
                                 "(device generation when absent)")
+            p.add_argument("--int8-train", default=None,
+                           choices=["fwd", "fwd+dx"],
+                           help="opt-in int8 training arithmetic "
+                                "(models/qtrain.py; gate on mask agreement "
+                                "via runs/qtrain_validate.py first)")
         if name == "sweep":
             p.add_argument("--model", default=None,
                            help=".npz checkpoint (fresh init if absent)")
@@ -229,6 +234,7 @@ def main(argv=None):
             base_lr=float(getattr(cfg_yaml, "base_lr", 5e-6)),
             out_root=args.out_root or cfg_yaml.out_root,
             base_channels=args.base_channels,
+            quantized=args.int8_train,
         )
         train(cfg, policy=policy, datasets=datasets)
         return

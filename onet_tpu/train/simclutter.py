@@ -66,6 +66,10 @@ class SimclutterConfig:
     resume: bool = False
     autosave_every: int = 0
     autosave_keep: int = 3
+    # opt-in int8 training arithmetic (models/qtrain.py; SOL.md section 4):
+    # None = exact, "fwd" = int8 forward convs, "fwd+dx" = also the
+    # input-gradient convs. Gate on mask agreement (runs/qtrain_validate.py)
+    quantized: str = None
 
 
 def evaluate(eval_step, params, bn_state, test_ds: ArrayDataset, batch_sz: int):
@@ -99,7 +103,8 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
                                  weight_share=config.weight_share,
                                  base=config.base_channels)
     opt_state = adam_init(params)
-    train_step = make_train_step(policy=policy, mesh=mesh, bias=config.bias)
+    train_step = make_train_step(policy=policy, mesh=mesh, bias=config.bias,
+                                 quantized=config.quantized)
     eval_step = make_eval_step(policy=policy, align="flip", mesh=mesh,
                                bias=config.bias)
 

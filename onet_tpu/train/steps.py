@@ -52,7 +52,8 @@ def _make_reshard(mesh, spatial: bool):
 
 
 def make_train_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
-                    mesh=None, spatial: bool = False, microbatches: int = 1):
+                    mesh=None, spatial: bool = False, microbatches: int = 1,
+                    quantized: str = None):
     """Build the jitted train step:
     (params, bn_state, opt_state, x, lr) -> (params, bn_state, opt_state, loss)
 
@@ -64,14 +65,26 @@ def make_train_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
     batches behavior). When every microbatch has the same batch statistics
     the accumulated step is numerically identical to the full-batch step
     (tests/test_microbatch.py).
+
+    ``quantized`` (opt-in; None = exact): "fwd" runs the 3x3 convs with
+    int8 forward arithmetic, "fwd+dx" additionally the input-gradient
+    convs (models/qtrain.py) — the reduced-precision training mode SOL.md
+    derives as required to beat the bf16 ceiling. Gate on mask agreement
+    before production use (tests/test_qtrain.py, runs/qtrain_validate.py).
     """
     reshard = _make_reshard(mesh, spatial)
+    if quantized:
+        from onet_tpu.models.qtrain import make_qtrain_ops
+        ops = make_qtrain_ops(level=quantized)
+    else:
+        from onet_tpu.models.unet import DEFAULT_OPS
+        ops = DEFAULT_OPS
 
     def grads_of(params, bn_state, x):
         def loss_fn(p):
             out, new_bn = onet_forward(p, bn_state, x, train=True,
                                        bias=bias, policy=policy,
-                                       reshard=reshard)
+                                       reshard=reshard, ops=ops)
             return compute_loss(out), new_bn
 
         return jax.value_and_grad(loss_fn, has_aux=True)(params)
