@@ -86,6 +86,15 @@ def main(argv=None):
                            help="tile arbitrarily large scenes into "
                                 "NxN context windows (serve/tiles.py)")
             p.add_argument("--halo", type=int, default=32)
+            p.add_argument("--far-budget", type=float, default=None,
+                           help="serve THRESHOLDED detections at this "
+                                "false-alarm budget instead of argmax "
+                                "masks (metrics/roc.py detector; threshold "
+                                "calibrated on the input clutter and "
+                                "stored in <model>.detector.json)")
+            p.add_argument("--fg", choices=["down", "top"], default="down",
+                           help="which branch carries the foreground "
+                                "(assign_fg_mark convention)")
     args = parser.parse_args(argv)
 
     from onet_tpu.core.cache import enable_compilation_cache
@@ -178,6 +187,51 @@ def main(argv=None):
         else:
             step = jax.jit(lambda f, xb: onet_infer(f, xb, policy=policy))
             model_arg = folded
+        if args.far_budget:
+            # threshold detector (metrics/roc.py): serve detections at a
+            # false-alarm budget — the operating point the reference's
+            # Pd-by-FAR tables mine post-hoc (uti_zy3_test_20240123.py:749)
+            # becomes the live serving path. Threshold = clutter-score
+            # quantile (targets are sparse, so the all-pixel quantile is
+            # the clutter quantile to O(target fraction)).
+            import json as _json
+            fg = 1 if args.fg == "down" else 0
+            base_step = step
+
+            def score_of(s):
+                return (jnp.log(s[..., fg] + 1e-9)
+                        - jnp.log(s[..., 1 - fg] + 1e-9))
+
+            sidecar = args.model + ".detector.json"
+            thr = None
+            if os.path.exists(sidecar):
+                with open(sidecar) as f:
+                    d = _json.load(f)
+                if (d.get("far_budget") == args.far_budget
+                        and d.get("fg") == args.fg
+                        and d.get("int8") == bool(args.int8)):
+                    thr = d["threshold"]
+                    print(f"[serve] detector threshold {thr:.4f} "
+                          f"from {sidecar}")
+            if thr is None:
+                calib = jnp.asarray(imgs[:args.serve_batch]
+                                    if imgs.ndim == 4 else
+                                    imgs[None, :, :, :])
+                s0, _ = base_step(model_arg, calib)
+                thr = float(jnp.quantile(score_of(s0),
+                                         1.0 - args.far_budget))
+                with open(sidecar, "w") as f:
+                    _json.dump({"far_budget": args.far_budget,
+                                "fg": args.fg, "int8": bool(args.int8),
+                                "threshold": thr}, f)
+                print(f"[serve] calibrated detector threshold {thr:.4f} "
+                      f"@ far<={args.far_budget:g} -> {sidecar}")
+
+            def det_step(m, xb, _thr=thr):
+                s, _ = base_step(m, xb)
+                return s, (score_of(s) > _thr).astype(jnp.int32)
+
+            step = jax.jit(det_step)
         masks, n, t0 = [], 0, time.perf_counter()
         if args.tile:
             from onet_tpu.serve import infer_tiled
@@ -196,6 +250,8 @@ def main(argv=None):
         masks = np.concatenate(masks)
         np.savez(args.out, masks=masks)
         mode = "int8" if args.int8 else "bf16"
+        if args.far_budget:
+            mode += f"+detector@far{args.far_budget:g}"
         print(f"[serve:{mode}] {n} frames in {dt:.2f}s "
               f"({n / dt:.1f} frames/s incl. compile) -> {args.out}")
         return

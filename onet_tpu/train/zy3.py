@@ -124,11 +124,14 @@ def save_zy3_test_results(out_path: str, params, bn_state,
         for img_id in (groups or {}).get(gname, []):
             group_of[str(img_id)] = gi
     rows = []
+    det_scores, det_labels = [], []
     idx = 0
     for batch in batch_iterator(test_ds, batch_sz):
         metrics, _, aligned, vt, vd = eval_batch(params, bn_state,
                                                  batch["imgs"],
                                                  batch["labels"])
+        det_scores.append((np.asarray(vt), np.asarray(vd)))
+        det_labels.append(np.asarray(batch["labels"]))
         vt = np.asarray(minmax_per_frame(vt))
         vd = np.asarray(minmax_per_frame(vd))
         n = batch["imgs"].shape[0]
@@ -157,6 +160,30 @@ def save_zy3_test_results(out_path: str, params, bn_state,
     summary_rows.append({"group": "all", "n": len(rows),
                          "acc": float(np.mean([r["acc"] for r in rows])),
                          "miou": float(np.mean([r["miou"] for r in rows]))})
+    # threshold-detector operating points at false-alarm budgets — the
+    # live counterpart of the reference's post-hoc Pd-by-FAR log mining
+    # (uti_zy3_test_20240123.py:709-749); additive report row
+    try:
+        from onet_tpu.metrics.roc import fg_score, dr_at_far
+        import jax.numpy as _jnp
+        vt_all = np.concatenate([v for v, _ in det_scores])
+        vd_all = np.concatenate([v for _, v in det_scores])
+        lab_all = np.concatenate(det_labels)
+        # fg branch: whichever raw branch argmax better matches GT overall
+        raw_down = (vd_all > vt_all).astype(np.int32)
+        fg_is_down = float(np.mean(raw_down == (lab_all > 0))) >= 0.5
+        score = fg_score(_jnp.asarray(vt_all), _jnp.asarray(vd_all),
+                         fg_is_down=fg_is_down)
+        det = dr_at_far(score, _jnp.asarray(lab_all), (0.01, 0.05))
+        for budget, (far_a, dr, thr) in det.items():
+            summary_rows.append({
+                "group": f"detector@far<={budget:g}", "n": len(rows),
+                "dr": float(dr), "far": float(far_a),
+                "threshold": float(thr)})
+        logging.info("Detector operating points: %s",
+                     {b: round(v[1], 4) for b, v in det.items()})
+    except Exception as e:  # pragma: no cover - report stays usable
+        logging.warning("detector rows skipped: %s", e)
     summary = pd.DataFrame(summary_rows)
     path = save_zy3_excel_report(out_path, rows, summary)
     logging.info("Overall testset Accuracy %.4f, mIoU %.4f",

@@ -134,3 +134,81 @@ def test_cli_zy3_cloud_addition(tmp_path, capsys, monkeypatch):
     assert "cloud-addition composites" in out
     assert "report:" in out          # the xlsx report path printed
     assert "cloudadd" in out or os.path.exists(str(tmp_path))
+
+
+def test_cli_serve_detector_far_budget(tmp_path, capsys):
+    """serve --far-budget emits THRESHOLDED detection masks with the
+    calibrated threshold stored next to the checkpoint (the low-SNR
+    detector uplift as a product path, VERDICT r2 item 6)."""
+    import json
+    from onet_tpu import run as cli
+    from onet_tpu.core.checkpoint import save_checkpoint
+
+    params, bn = onet_init(jax.random.key(0), 1, base=8)
+    ck = tmp_path / "m_epoch_3.npz"
+    save_checkpoint(str(ck), params, bn, 3)
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (4, 32, 32, 1)).astype(np.float32)
+    np.savez(tmp_path / "frames.npz", imgs=imgs)
+    out = tmp_path / "masks.npz"
+    cli.main(["serve", "--model", str(ck), "--input",
+              str(tmp_path / "frames.npz"), "--out", str(out),
+              "--base-channels", "8", "--fp32", "--serve-batch", "4",
+              "--far-budget", "0.05"])
+    txt = capsys.readouterr().out
+    assert "calibrated detector threshold" in txt
+    sidecar = str(ck) + ".detector.json"
+    assert os.path.exists(sidecar)
+    d = json.load(open(sidecar))
+    assert d["far_budget"] == 0.05
+    masks = np.load(out)["masks"]
+    assert masks.shape == (4, 32, 32)
+    # calibration batch = the input: the positive fraction matches the
+    # budget (quantile semantics, sparse-target approximation)
+    frac = masks.mean()
+    assert 0.0 < frac < 0.15, frac
+    # sidecar reuse path
+    cli.main(["serve", "--model", str(ck), "--input",
+              str(tmp_path / "frames.npz"), "--out", str(out),
+              "--base-channels", "8", "--fp32", "--serve-batch", "4",
+              "--far-budget", "0.05"])
+    assert "from" in capsys.readouterr().out
+
+
+def test_cli_serve_tiled_2048_scene_agrees_with_whole(tmp_path, capsys):
+    """Production-scale tiled serving e2e: ONE 2048^2 scene through
+    `serve --tile`, with the interior of the tiled mask agreeing with
+    whole-scene inference (VERDICT r2 item 9). Small net (base=8) keeps
+    the CPU cost bounded; the tiling geometry is the thing under test."""
+    import jax.numpy as jnp
+    from onet_tpu import run as cli
+    from onet_tpu.core.checkpoint import save_checkpoint
+    from onet_tpu.models.infer import fold_onet, onet_infer
+    from onet_tpu.models.onet import onet_init
+
+    params, bn = onet_init(jax.random.key(4), 1, base=8)
+    ck = tmp_path / "m_epoch_3.npz"
+    save_checkpoint(str(ck), params, bn, 3)
+    rng = np.random.default_rng(2)
+    scene = rng.uniform(0, 1, (1, 2048, 2048, 1)).astype(np.float32)
+    scene[:, 900:1000, 900:1000] = np.clip(
+        scene[:, 900:1000, 900:1000] + 0.8, 0, 1)   # a bright target
+    np.savez(tmp_path / "scene.npz", imgs=scene)
+    out = tmp_path / "masks.npz"
+    cli.main(["serve", "--model", str(ck), "--input",
+              str(tmp_path / "scene.npz"), "--out", str(out),
+              "--base-channels", "8", "--serve-batch", "4",
+              "--tile", "512", "--halo", "32"])
+    txt = capsys.readouterr().out
+    assert "serve:" in txt
+    tiled = np.load(out)["masks"][0]
+    assert tiled.shape == (2048, 2048)
+
+    folded = fold_onet(params, bn)
+    _, whole = onet_infer(folded, jnp.asarray(scene))
+    whole = np.asarray(whole[0])
+    # interior agreement (window interiors see >= halo pixels of true
+    # context; only long-range context beyond the halo can differ)
+    inner = np.s_[64:-64, 64:-64]
+    agree = float(np.mean(tiled[inner] == whole[inner]))
+    assert agree >= 0.99, agree
