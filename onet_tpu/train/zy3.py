@@ -157,9 +157,10 @@ def save_zy3_test_results(out_path: str, params, bn_state,
                 "group": gname, "n": len(sub),
                 "acc": float(np.mean([r["acc"] for r in sub])),
                 "miou": float(np.mean([r["miou"] for r in sub]))})
-    summary_rows.append({"group": "all", "n": len(rows),
-                         "acc": float(np.mean([r["acc"] for r in rows])),
-                         "miou": float(np.mean([r["miou"] for r in rows]))})
+    all_row = {"group": "all", "n": len(rows),
+               "acc": float(np.mean([r["acc"] for r in rows])),
+               "miou": float(np.mean([r["miou"] for r in rows]))}
+    summary_rows.append(all_row)
     # threshold-detector operating points at false-alarm budgets — the
     # live counterpart of the reference's post-hoc Pd-by-FAR log mining
     # (uti_zy3_test_20240123.py:709-749); additive report row
@@ -187,15 +188,15 @@ def save_zy3_test_results(out_path: str, params, bn_state,
     summary = pd.DataFrame(summary_rows)
     path = save_zy3_excel_report(out_path, rows, summary)
     logging.info("Overall testset Accuracy %.4f, mIoU %.4f",
-                 summary_rows[-1]["acc"], summary_rows[-1]["miou"])
+                 all_row["acc"], all_row["miou"])
     if draw:
         # draw_test_res parity: epoch+metric-named 5x5 rgb/gt/pred/vt/vd
         # grids next to the Excel report (uti_zy3_test_20240123.py:42-97)
         from onet_tpu.report.curves import save_test_res_grids
         save_test_res_grids(
             os.path.dirname(out_path) or ".", model_name, rows,
-            test_loss=0.0, acc=summary_rows[-1]["acc"],
-            miou=summary_rows[-1]["miou"], epoch=epoch, draw_all=draw_all)
+            test_loss=0.0, acc=all_row["acc"],
+            miou=all_row["miou"], epoch=epoch, draw_all=draw_all)
     return path, summary
 
 
