@@ -45,17 +45,14 @@ _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 QMAX = 127.0
 
 
-# amax estimation: scanning every pixel costs a full HBM read per site;
-# a strided row subsample (1/8 of rows) with a 5% safety margin estimates
-# the same per-tensor scale — the few tail pixels it may under-range are
-# saturating-clipped (bounded error, covered by the accuracy gate).
-AMAX_ROW_STRIDE = 8
-
-
 def _quant_act(x):
-    """Dynamic per-tensor symmetric int8: returns (codes, scale)."""
-    sub = x[:, ::AMAX_ROW_STRIDE] if x.ndim == 4 and x.shape[1] > 32 else x
-    amax = jnp.max(jnp.abs(sub.astype(jnp.float32))) * 1.05
+    """Dynamic per-tensor symmetric int8: returns (codes, scale).
+
+    Full-tensor amax: a strided row subsample was measured SLOWER (the
+    gather copy costs more than the fused reduce saves; 45.0 vs 48.4
+    tiles/s at the bench shape) — XLA fuses this reduce with the
+    quantize pass."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
     s = jnp.maximum(amax / QMAX, 1e-12)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -QMAX, QMAX)
     return q.astype(jnp.int8), s

@@ -375,24 +375,13 @@ def onet_infer_q(q, x, *, bias: float = 0.0, head_bf16: bool = True):
     uf = _convT_q(y, q["up4.up"])
     uq = _requant_signed(uf, s["up4.conv1:up"])
     uq = _pad_match(uq, x1q)
-    # up4.conv1 as TWO summed convs instead of a concat+conv: profiling
-    # showed the 256-input-channel int8 conv running at ~198 TF/s (half
-    # the int8 rate) and the concat materializing a 2 GiB int8 tensor;
-    # conv(concat(a,b), W) == conv(a, W[:, :, :ca]) + conv(b, W[:, :, ca:])
-    # exactly (shared per-output-channel weight scales, int32 sum).
-    wq_full = q["up4.conv1"]["wq"]
-    ca = x1q.shape[-1]
-    y_i32 = (lax.conv_general_dilated(
-                 x1q, wq_full[:, :, :ca], (1, 1), "SAME",
-                 dimension_numbers=_DIMNUMS,
-                 preferred_element_type=jnp.int32)
-             + lax.conv_general_dilated(
-                 uq, wq_full[:, :, ca:], (1, 1), "SAME",
-                 dimension_numbers=_DIMNUMS,
-                 preferred_element_type=jnp.int32))
-    yf = (y_i32.astype(jnp.float32) * q["up4.conv1"]["sw"]
-          + q["up4.conv1"]["b"])
-    h = _requant(yf, s["up4.conv2"])
+    # NOTE (round-3 A/B): splitting this concat+conv into two summed convs
+    # was measured SLOWER (217 vs 225 t/s) — the int32 partial sums break
+    # the conv->requant fusion and double the HBM writes. The 512^2 int8
+    # sites are HBM-bound (~400-460 GiB/s effective), so the single fused
+    # concat conv stands.
+    xin = jnp.concatenate([x1q, uq], axis=-1)
+    h = _cbr_q(xin, q["up4.conv1"], s["up4.conv2"])
     if head_bf16:
         hf16 = (h.astype(jnp.float32) * s["up4.conv2"]).astype(jnp.bfloat16)
         y1f = _conv_bf16(hf16, q["up4.conv2.bf16"])
