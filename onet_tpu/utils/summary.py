@@ -95,6 +95,53 @@ def model_summary(params, input_hw=(224, 224), in_channels=1,
     return rows
 
 
+def runtime_layer_summary(params, state, x, *, train: bool = False) -> List[Dict]:
+    """Per-layer output shapes/dtypes from a LIVE traced forward — the
+    counterpart of the reference's forward-hook summary
+    (utils_20231218.py:692-811), realized the JAX way: intercept the layer
+    primitives during one abstract evaluation (jax.eval_shape, so no
+    device work and any input size).
+
+    Returns rows {name, op, out_shape, out_dtype} in execution order.
+    Complements model_summary's static FLOP/param table with what the
+    traced graph actually produces (padding, stacking and policy casts
+    included)."""
+    import types
+
+    from onet_tpu.models import layers as L
+    from onet_tpu.models import unet as U
+    from onet_tpu.models.onet import onet_forward
+
+    rows = []
+
+    def tap(op):
+        fn = getattr(L, op)
+
+        def wrapped(*args, **kwargs):
+            out = fn(*args, **kwargs)
+            y = out[0] if isinstance(out, tuple) else out
+            rows.append({"name": f"{op}_{len(rows)}", "op": op,
+                         "out_shape": tuple(y.shape),
+                         "out_dtype": str(y.dtype)})
+            return out
+        return wrapped
+
+    ops = types.SimpleNamespace(
+        conv3x3=tap("conv3x3"),
+        batch_norm=tap("batch_norm"),
+        max_pool=tap("max_pool_2x2"),
+        conv_transpose=tap("conv_transpose_2x2"),
+    )
+
+    def fwd(p, s, xx):
+        out, _ = onet_forward(p, s, xx, train=train, ops=ops,
+                              pair_pack=False)
+        return out.S
+
+    jax.eval_shape(fwd, params, state, x)
+    return rows
+
+
 def get_scr(image: jnp.ndarray, label: jnp.ndarray) -> float:
     """Signal-to-clutter ratio of the labelled extended target (dB)."""
     lab = label.astype(image.dtype)
