@@ -65,6 +65,11 @@ def main(argv=None):
                            help="opt-in int8 training arithmetic "
                                 "(models/qtrain.py; gate on mask agreement "
                                 "via runs/qtrain_validate.py first)")
+            p.add_argument("--dp", type=int, default=0,
+                           help="data-parallel over N devices (jax mesh; "
+                                "params replicated, batch sharded, GSPMD "
+                                "gradient all-reduce over ICI). 0 = single "
+                                "device")
         if name == "sweep":
             p.add_argument("--model", default=None,
                            help=".npz checkpoint (fresh init if absent)")
@@ -292,7 +297,19 @@ def main(argv=None):
             base_channels=args.base_channels,
             quantized=args.int8_train,
         )
-        train(cfg, policy=policy, datasets=datasets)
+        mesh = None
+        if args.dp:
+            from onet_tpu.core.mesh import make_mesh
+            devs = jax.devices()
+            if len(devs) < args.dp:
+                raise SystemExit(f"--dp {args.dp} but only {len(devs)} "
+                                 "devices visible")
+            if cfg.batch_sz % args.dp:
+                raise SystemExit(f"batch {cfg.batch_sz} not divisible by "
+                                 f"--dp {args.dp}")
+            mesh = make_mesh(shape=(args.dp, 1), devices=devs[:args.dp])
+            print(f"[simclutter] data-parallel over {args.dp} devices")
+        train(cfg, policy=policy, datasets=datasets, mesh=mesh)
         return
 
     if args.cmd == "zy3":

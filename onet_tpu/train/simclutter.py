@@ -107,6 +107,18 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
                                  quantized=config.quantized)
     eval_step = make_eval_step(policy=policy, align="flip", mesh=mesh,
                                bias=config.bias)
+    if mesh is not None:
+        # remainder eval batches can't shard over the data axis; fall back
+        # to a replicated single-compile eval for those
+        ndev = int(mesh.devices.size)
+        eval_mesh = eval_step
+        eval_plain = make_eval_step(policy=policy, align="flip",
+                                    bias=config.bias)
+
+        def eval_step(p, b, x, labels):  # noqa: F811
+            if x.shape[0] % ndev == 0:
+                return eval_mesh(p, b, x, labels)
+            return eval_plain(p, b, x, labels)
 
     if log:
         log_file = setup_logging(config.out_root, config.model_name)

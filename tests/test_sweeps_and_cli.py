@@ -212,3 +212,26 @@ def test_cli_serve_tiled_2048_scene_agrees_with_whole(tmp_path, capsys):
     inner = np.s_[64:-64, 64:-64]
     agree = float(np.mean(tiled[inner] == whole[inner]))
     assert agree >= 0.99, agree
+
+
+def test_cli_simclutter_dp_mesh(tmp_path, capsys, monkeypatch):
+    """simclutter --dp N trains data-parallel on the virtual mesh through
+    the CLI (multi-chip as a product surface, not only a test fixture)."""
+    from onet_tpu import run as cli
+    import onet_tpu.data.simclutter as S
+
+    real = S.simclutter_datasets
+
+    def tiny(key, **kw):
+        kw.update(frames_per_level=6, crop=32)
+        return real(key, low_snr=kw.pop("low_snr", 0),
+                    high_snr=kw.pop("high_snr", 2), **kw)
+
+    monkeypatch.setattr("onet_tpu.train.simclutter.simclutter_datasets",
+                        tiny)
+    cli.main(["simclutter", "--epochs", "2", "--batch-sz", "4", "--dp", "4",
+              "--base-channels", "8", "--fp32",
+              "--out-root", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "data-parallel over 4 devices" in out
+    assert "===Epoch" in out
