@@ -29,6 +29,8 @@ def _add_common(p):
     p.add_argument("--batch-sz", type=int, default=None)
     p.add_argument("--out-root", type=str, default=None)
     p.add_argument("--base-channels", type=int, default=64)
+    p.add_argument("--in-channels", type=int, default=1)
+    p.add_argument("--input-sz", type=int, default=224)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--fp32", dest="bf16", action="store_false")
 
@@ -37,7 +39,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="onet_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name in ("simclutter", "zy3", "nau", "gen-data", "bench", "sweep",
-                 "serve"):
+                 "serve", "summary"):
         p = sub.add_parser(name)
         _add_common(p)
         if name == "zy3":
@@ -113,6 +115,30 @@ def main(argv=None):
     if args.cmd == "bench":
         import bench
         bench.main()
+        return
+
+    if args.cmd == "summary":
+        # model summary: static FLOP/param table + live traced per-layer
+        # shapes (the reference's count_parameters / get_model_summary
+        # surface, utils_20231218.py:29-42,692-811)
+        import jax.numpy as jnp
+        from onet_tpu.models.onet import onet_init
+        from onet_tpu.utils.summary import (
+            model_summary, runtime_layer_summary, count_parameters)
+        params, state = onet_init(jax.random.key(0), args.in_channels,
+                                  base=args.base_channels)
+        print(f"params: {count_parameters(params):.2f} M")
+        print(f"{'stage':<16}{'out_shape':<22}{'params':>10}{'GFLOP':>10}")
+        for r in model_summary(params, input_hw=(args.input_sz,) * 2,
+                               in_channels=args.in_channels):
+            print(f"{r['name']:<16}{str(r['out_shape']):<22}"
+                  f"{r['params']:>10}{r['fwd_flops'] / 1e9:>10.2f}")
+        x = jnp.zeros((1, args.input_sz, args.input_sz, args.in_channels),
+                      jnp.float32)
+        rows = runtime_layer_summary(params, state, x)
+        print(f"\ntraced graph: {len(rows)} layer ops "
+              f"(first {rows[0]['op']} -> {rows[0]['out_shape']}, "
+              f"last {rows[-1]['op']} -> {rows[-1]['out_shape']})")
         return
 
     if args.cmd == "gen-data":

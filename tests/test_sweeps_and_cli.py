@@ -235,3 +235,11 @@ def test_cli_simclutter_dp_mesh(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "data-parallel over 4 devices" in out
     assert "===Epoch" in out
+
+
+def test_cli_summary(capsys):
+    from onet_tpu import run as cli
+    cli.main(["summary", "--base-channels", "8", "--input-sz", "64"])
+    out = capsys.readouterr().out
+    assert "params:" in out and "TOTAL" in out
+    assert "traced graph: 44 layer ops" in out
