@@ -245,10 +245,17 @@ def main(argv=None):
                     print(f"[serve] detector threshold {thr:.4f} "
                           f"from {sidecar}")
             if thr is None:
-                calib = jnp.asarray(imgs[:args.serve_batch]
-                                    if imgs.ndim == 4 else
-                                    imgs[None, :, :, :])
-                s0, _ = base_step(model_arg, calib)
+                calib = np.asarray(imgs[:args.serve_batch] if imgs.ndim == 4
+                                   else imgs[None, :, :, :])
+                if args.tile:
+                    # tiled mode: calibrate on window-sized center crops so
+                    # the untiled graph never compiles at full scene size
+                    win = args.tile + 2 * args.halo
+                    h, w = calib.shape[1:3]
+                    if h > win and w > win:
+                        y0, x0 = (h - win) // 2, (w - win) // 2
+                        calib = calib[:, y0:y0 + win, x0:x0 + win]
+                s0, _ = base_step(model_arg, jnp.asarray(calib))
                 thr = float(jnp.quantile(score_of(s0),
                                          1.0 - args.far_budget))
                 with open(sidecar, "w") as f:

@@ -243,3 +243,29 @@ def test_cli_summary(capsys):
     out = capsys.readouterr().out
     assert "params:" in out and "TOTAL" in out
     assert "traced graph: 44 layer ops" in out
+
+
+def test_cli_serve_detector_with_tiling(tmp_path, capsys):
+    """--far-budget combined with --tile: the calibration runs on
+    window-sized center crops (never compiles the untiled graph at scene
+    size) and the tiled masks are thresholded detections."""
+    import json
+    from onet_tpu import run as cli
+    from onet_tpu.core.checkpoint import save_checkpoint
+
+    params, bn = onet_init(jax.random.key(0), 1, base=8)
+    ck = tmp_path / "m_epoch_3.npz"
+    save_checkpoint(str(ck), params, bn, 3)
+    scenes = np.random.default_rng(0).uniform(
+        0, 1, (2, 120, 120, 1)).astype(np.float32)
+    np.savez(tmp_path / "scenes.npz", imgs=scenes)
+    out = tmp_path / "masks.npz"
+    cli.main(["serve", "--model", str(ck), "--input",
+              str(tmp_path / "scenes.npz"), "--out", str(out),
+              "--base-channels", "8", "--fp32", "--serve-batch", "2",
+              "--tile", "48", "--halo", "16", "--far-budget", "0.05"])
+    txt = capsys.readouterr().out
+    assert "calibrated detector threshold" in txt
+    masks = np.load(out)["masks"]
+    assert masks.shape == (2, 120, 120)
+    assert 0.0 <= masks.mean() < 0.2
