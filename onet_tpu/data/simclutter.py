@@ -56,19 +56,22 @@ def filter_by_snr_range(ds: ArrayDataset, low: int, high: int) -> ArrayDataset:
 def simclutter_datasets(key, *, low_snr: int = 0, high_snr: int = 2,
                         train_frac: float = 0.9,
                         source: Optional[ArrayDataset] = None,
-                        frames_per_level: int = 150, crop: int = 224):
+                        frames_per_level: int = 150, crop: int = 224,
+                        bg: str = "rayleigh"):
     """(train, test) ArrayDatasets for the simclutter workload.
 
-    With no ``source``, generates the Rayleigh dataset on device (the
+    With no ``source``, generates the clutter dataset on device (the
     levels are restricted to [low_snr, high_snr] — generating then
-    discarding the rest would be wasted FLOPs).
+    discarding the rest would be wasted FLOPs). ``bg`` selects the clutter
+    family ("rayleigh" or "k"), mirroring the reference's bg_type
+    (Rayleigh_bg_Gaussian_EOT_generator_20230208.py:251-275).
     """
     k_gen, k_split = jax.random.split(key)
     if source is None:
         levels = tuple(range(low_snr, high_snr + 1))
         raw = generate_rayleigh_dataset(k_gen, levels=levels,
                                         frames_per_level=frames_per_level,
-                                        crop=crop)
+                                        crop=crop, bg=bg)
         ds = ArrayDataset(dict(raw))
     else:
         ds = filter_by_snr_range(source, low_snr, high_snr)

@@ -57,6 +57,9 @@ def main(argv=None):
             p.add_argument("--test-file", default=None)
         if name == "gen-data":
             p.add_argument("--out", default="rayleigh_dataset.npz")
+            p.add_argument("--bg", choices=["rayleigh", "k"],
+                           default="rayleigh",
+                           help="clutter family (reference bg_type)")
         if name == "simclutter":
             p.add_argument("--frames-per-level", type=int, default=150)
             p.add_argument("--data-file", default=None,
@@ -67,6 +70,10 @@ def main(argv=None):
                            help="opt-in int8 training arithmetic "
                                 "(models/qtrain.py; gate on mask agreement "
                                 "via runs/qtrain_validate.py first)")
+            p.add_argument("--bg", choices=["rayleigh", "k"],
+                           default="rayleigh",
+                           help="clutter family (reference bg_type: "
+                                "rayleigh.rvs or correlated K field)")
             p.add_argument("--dp", type=int, default=0,
                            help="data-parallel over N devices (jax mesh; "
                                 "params replicated, batch sharded, GSPMD "
@@ -143,7 +150,7 @@ def main(argv=None):
 
     if args.cmd == "gen-data":
         from onet_tpu.sim.rayleigh import generate_rayleigh_dataset
-        d = generate_rayleigh_dataset(jax.random.key(1981))
+        d = generate_rayleigh_dataset(jax.random.key(1981), bg=args.bg)
         arrays = {k: np.asarray(v) for k, v in d.items()}
         if args.out.endswith(".ts"):
             from onet_tpu.data.tilestore import save_store
@@ -325,6 +332,7 @@ def main(argv=None):
             low_snr=getattr(cfg_yaml, "low_snr", 0),
             high_snr=getattr(cfg_yaml, "high_snr", 2),
             frames_per_level=args.frames_per_level,
+            bg=args.bg,
             base_lr=float(getattr(cfg_yaml, "base_lr", 5e-6)),
             out_root=args.out_root or cfg_yaml.out_root,
             base_channels=args.base_channels,

@@ -62,17 +62,32 @@ def rayleigh_frames(key, snr_db, *, n_frames: int = FRAMES_PER_LEVEL,
 
 def generate_rayleigh_dataset(key, *, levels=PSNR_LEVELS,
                               frames_per_level: int = FRAMES_PER_LEVEL,
-                              crop: int = CROP_SIZE, swerling: int = 0):
+                              crop: int = CROP_SIZE, swerling: int = 0,
+                              bg: str = "rayleigh"):
     """The full simclutter dataset: dict of stacked frames/masks/psnrs.
 
     Mirrors the saved-.pt schema {imgs, labels, psnr} of prepare_data
-    (:295-325) but stays on device.
+    (:295-325) but stays on device. ``bg`` selects the clutter family like
+    the reference's bg_type (Rayleigh_bg_...:251-275): "rayleigh"
+    (rayleigh.rvs background, :219-249) or "k" (correlated K-distributed
+    field via get_k_frame, :177-216) — the K simulator's spectral ACF is
+    built once and shared across levels like the reference's KField cache.
     """
+    assert bg in ("rayleigh", "k"), bg
+    sim = None
+    if bg == "k":
+        from onet_tpu.sim.kdist import KDistSimulator, kdist_frames
+        sim = KDistSimulator(jax.random.fold_in(key, 999))
     imgs, labels, psnrs = [], [], []
     for lvl in levels:
         k = jax.random.fold_in(key, lvl)
-        f, m = rayleigh_frames(k, float(lvl), n_frames=frames_per_level,
-                               crop=crop, swerling=swerling)
+        if bg == "k":
+            from onet_tpu.sim.kdist import kdist_frames
+            f, m = kdist_frames(k, float(lvl), n_frames=frames_per_level,
+                                crop=crop, swerling=swerling, sim=sim)
+        else:
+            f, m = rayleigh_frames(k, float(lvl), n_frames=frames_per_level,
+                                   crop=crop, swerling=swerling)
         imgs.append(f)
         labels.append(m)
         psnrs.append(jnp.full((frames_per_level,), lvl, jnp.int32))

@@ -44,6 +44,9 @@ class SimclutterConfig:
     binit: bool = True
     low_snr: int = 0
     high_snr: int = 2
+    # clutter family: "rayleigh" or "k" (the reference's bg_type,
+    # Rayleigh_bg_Gaussian_EOT_generator_20230208.py:251-275)
+    bg: str = "rayleigh"
     frames_per_level: int = 150
     base_lr: float = 1e-5 / 2
     lr_decay_every: int = 100
@@ -95,7 +98,8 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
     if datasets is None:
         train_ds, test_ds = simclutter_datasets(
             k_data, low_snr=config.low_snr, high_snr=config.high_snr,
-            frames_per_level=config.frames_per_level, crop=config.input_sz)
+            frames_per_level=config.frames_per_level, crop=config.input_sz,
+            bg=config.bg)
     else:
         train_ds, test_ds = datasets
 

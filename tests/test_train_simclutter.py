@@ -56,3 +56,28 @@ def test_checkpoint_roundtrip(run):
     a = jax.tree.leaves(params)[0]
     b = jax.tree.leaves(p)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kdist_background_workload():
+    """bg="k" drives the full workload on K-distributed clutter (the
+    reference's prepare_data(bg_type='k') path, Rayleigh_bg_...:251-275)."""
+    import jax
+
+    from onet_tpu.data.simclutter import simclutter_datasets
+
+    tr, te = simclutter_datasets(jax.random.key(0), low_snr=5, high_snr=5,
+                                 frames_per_level=6, crop=64, bg="k")
+    assert tr["imgs"].shape[1:] == (64, 64, 1)
+    assert float(tr["imgs"].min()) >= 0.0 and float(tr["imgs"].max()) <= 1.0
+    assert 0.001 < float(tr["labels"].mean()) < 0.2
+    # a couple of train steps run
+    from onet_tpu.models.onet import onet_init
+    from onet_tpu.train.optim import adam_init
+    from onet_tpu.train.steps import make_train_step
+
+    params, bn = onet_init(jax.random.key(1), 1, base=8)
+    step = make_train_step()
+    opt = adam_init(params)
+    for i in range(2):
+        params, bn, opt, loss = step(params, bn, opt, tr["imgs"][:4], 1e-4)
+    assert bool(jax.numpy.isfinite(loss))
