@@ -202,7 +202,9 @@ def main(argv=None):
         from onet_tpu.core.checkpoint import load_checkpoint
         from onet_tpu.models.infer import fold_onet, onet_infer
         from onet_tpu.models.onet import onet_init
-        params, bn = onet_init(jax.random.key(0), 1,
+        # --in-channels matches the checkpoint (1 = radar/simclutter,
+        # 3 = ZY-3 RGB; the npz schema implies it but templates need it)
+        params, bn = onet_init(jax.random.key(0), args.in_channels,
                                base=args.base_channels)
         params, bn, _ = load_checkpoint(args.model, params, bn)
         folded = jax.jit(fold_onet)(params, bn)

@@ -26,6 +26,50 @@ def test_cli_overrides_yaml():
     assert cfg.enc_in_channels == 32
 
 
+IIC_YML = """
+iic:
+  model_ind: 570
+  mode: IID
+  batch_sz: 60
+  num_dataloaders: 3
+  gt_k: 2
+  output_k_A: 10
+  output_k_B: 2
+  num_epochs: 100
+  lr_schedule: [40, 80]
+  restart: false
+  out_dir: "{out}"
+"""
+
+
+def test_iic_legacy_config(tmp_path):
+    """Legacy IIC path: derived fields, restart via saved config
+    (config_tip2022_20230411.py:46-100 semantics, JSON instead of pickle)."""
+    from onet_tpu.core.config import save_config_iic
+    yml = tmp_path / "train_iic.yml"
+    yml.write_text(IIC_YML.format(out=tmp_path))
+    cfg = generate_config(str(yml), "iic")
+    assert cfg.dataloader_batch_sz == 20
+    assert cfg.output_k == 2 and cfg.eval_mode == "hung"
+    assert cfg.epoch_acc == [] and cfg.epoch_loss_head_B == []
+    assert cfg.use_doersch_datasets is False
+
+    cfg.epoch_acc.append(0.5)
+    save_config_iic(cfg, str(tmp_path))
+
+    # A restart run reloads the saved config but keeps the fresh
+    # num_epochs / lr_schedule.
+    yml2 = tmp_path / "train_iic2.yml"
+    yml2.write_text(IIC_YML.format(out=tmp_path)
+                    .replace("restart: false", "restart: true")
+                    .replace("num_epochs: 100", "num_epochs: 200"))
+    cfg2 = generate_config(str(yml2), "iic")
+    assert cfg2.restart is True
+    assert cfg2.epoch_acc == [0.5]          # state reloaded
+    assert cfg2.num_epochs == 200           # fresh schedule wins
+    assert cfg2.model_ind == 570
+
+
 def test_log_line_roundtrip(tmp_path):
     metrics = {"acc": 0.9514, "miou": 0.81, "dr": 0.77, "far": 1.1e-3,
                "tiou": 0.5}

@@ -45,8 +45,9 @@ def test_cli_gen_data(tmp_path, monkeypatch):
 
     original = R.generate_rayleigh_dataset
 
-    def tiny_gen(key):
-        return original(key, levels=(5,), frames_per_level=2, crop=64)
+    def tiny_gen(key, bg="rayleigh"):
+        return original(key, levels=(5,), frames_per_level=2, crop=64,
+                        bg=bg)
 
     monkeypatch.setattr("onet_tpu.sim.rayleigh.generate_rayleigh_dataset",
                         tiny_gen)
@@ -269,3 +270,22 @@ def test_cli_serve_detector_with_tiling(tmp_path, capsys):
     masks = np.load(out)["masks"]
     assert masks.shape == (2, 120, 120)
     assert 0.0 <= masks.mean() < 0.2
+
+
+def test_cli_serve_rgb_checkpoint(tmp_path, capsys):
+    """serve --in-channels 3 loads and serves a ZY-3-class RGB checkpoint
+    (serve previously hardcoded 1 input channel)."""
+    from onet_tpu import run as cli
+    from onet_tpu.core.checkpoint import save_checkpoint
+
+    params, bn = onet_init(jax.random.key(0), 3, base=8)
+    ck = tmp_path / "rgb_epoch_3.npz"
+    save_checkpoint(str(ck), params, bn, 3)
+    imgs = np.random.default_rng(0).uniform(
+        0, 1, (2, 32, 32, 3)).astype(np.float32)
+    np.savez(tmp_path / "frames.npz", imgs=imgs)
+    out = tmp_path / "masks.npz"
+    cli.main(["serve", "--model", str(ck), "--in-channels", "3",
+              "--input", str(tmp_path / "frames.npz"), "--out", str(out),
+              "--base-channels", "8", "--fp32", "--serve-batch", "2"])
+    assert np.load(out)["masks"].shape == (2, 32, 32)
