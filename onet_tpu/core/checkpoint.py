@@ -106,7 +106,34 @@ def load_checkpoint(path: str, params_template, state_template,
     given, (params, bn_state, epoch, opt_state_or_None); opt_state is None
     for pre-optimizer-state checkpoints (the caller should log that Adam
     moments restart). Templates supply the tree structure (shapes validated
-    implicitly by assignment)."""
+    implicitly by assignment).
+
+    Reference torch checkpoints (``.pt/.pth/.pytorch``, the
+    ``{"net": state_dict, ...}`` schema) load transparently via
+    ``core/torch_import.py`` — every CLI surface accepts them in place of
+    an npz."""
+    from onet_tpu.core.torch_import import (TORCH_EXTS,
+                                            import_torch_checkpoint)
+    if path.endswith(TORCH_EXTS):
+        share = "down" not in params_template
+        params, bn_state, epoch = import_torch_checkpoint(
+            path, weight_share=share)
+        for got, want, name in (
+                (params, params_template, "params"),
+                (bn_state, state_template, "bn_state")):
+            gs = [x.shape for x in jax.tree.leaves(got)]
+            ws = [np.shape(x) for x in jax.tree.leaves(want)]
+            if gs != ws:
+                raise ValueError(
+                    f"{path}: imported {name} shapes do not match the "
+                    f"requested model (got first-diff "
+                    f"{next((a, b) for a, b in zip(gs, ws) if a != b)}); "
+                    "check --base-channels/--in-channels")
+        params = jax.tree.map(jnp.asarray, params)
+        bn_state = jax.tree.map(jnp.asarray, bn_state)
+        if opt_template is None:
+            return params, bn_state, epoch
+        return params, bn_state, epoch, None
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
     params = _unflatten(params_template, flat, "p:")

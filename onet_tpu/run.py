@@ -39,7 +39,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="onet_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name in ("simclutter", "zy3", "nau", "gen-data", "bench", "sweep",
-                 "serve", "summary"):
+                 "serve", "summary", "import-torch"):
         p = sub.add_parser(name)
         _add_common(p)
         if name == "zy3":
@@ -109,6 +109,20 @@ def main(argv=None):
             p.add_argument("--fg", choices=["down", "top"], default="down",
                            help="which branch carries the foreground "
                                 "(assign_fg_mark convention)")
+            p.add_argument("--dp", type=int, default=0,
+                           help="data-parallel serving over N devices "
+                                "(params replicated, batch sharded over "
+                                "the mesh; composes with --int8/"
+                                "--far-budget/--tile). 0 = single device")
+        if name == "import-torch":
+            p.add_argument("--pt", required=True,
+                           help="reference .pt/.pth/.pytorch checkpoint "
+                                "({'net': state_dict, 'epoch': N} or a "
+                                "bare state_dict)")
+            p.add_argument("--out", default=None,
+                           help="output .npz (default: <pt>.npz). Note "
+                                "serve/sweep/nau also accept the .pt "
+                                "file directly")
     args = parser.parse_args(argv)
 
     from onet_tpu.core.cache import enable_compilation_cache
@@ -146,6 +160,22 @@ def main(argv=None):
         print(f"\ntraced graph: {len(rows)} layer ops "
               f"(first {rows[0]['op']} -> {rows[0]['out_shape']}, "
               f"last {rows[-1]['op']} -> {rows[-1]['out_shape']})")
+        return
+
+    if args.cmd == "import-torch":
+        # Bring reference-trained torch checkpoints across (PARITY §2.7:
+        # the reference's torch.save schema,
+        # Train_Onet_on_simclutter_20250407.py:265-266).
+        from onet_tpu.core.checkpoint import save_checkpoint
+        from onet_tpu.core.torch_import import import_torch_checkpoint
+        from onet_tpu.utils.summary import count_parameters
+        params, bn, epoch = import_torch_checkpoint(args.pt)
+        out = args.out or (os.path.splitext(args.pt)[0] + ".npz")
+        save_checkpoint(out, params, bn, epoch)
+        share = "shared" if "down" not in params else "twin"
+        print(f"[import-torch] {args.pt} -> {out}: "
+              f"{count_parameters(params):.2f} M params ({share}), "
+              f"epoch {epoch}")
         return
 
     if args.cmd == "gen-data":
@@ -279,6 +309,39 @@ def main(argv=None):
                 return s, (score_of(s) > _thr).astype(jnp.int32)
 
             step = jax.jit(det_step)
+        if args.dp:
+            # Data-parallel serving via shard_map: each device runs the
+            # whole per-frame graph on its batch shard — ZERO collectives
+            # by construction (asserted in tests/test_serve_dp.py). Plain
+            # GSPMD batch-sharding would insert collective-permutes at the
+            # deep levels where the twin branches are batch-stacked (the
+            # [2B] slice crosses shards). Ragged tails pad to a multiple
+            # of the mesh and the pad frames are dropped after.
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            from onet_tpu.core.mesh import (batch_sharding, make_mesh,
+                                            put_per_spec, replicated)
+            ndev = len(jax.devices())
+            if args.dp > ndev:
+                raise SystemExit(f"--dp {args.dp}: only {ndev} devices")
+            mesh = make_mesh((args.dp, 1), devices=jax.devices()[:args.dp])
+            model_arg = put_per_spec(model_arg, replicated(mesh))
+            xsharding = batch_sharding(mesh)
+            inner_step = jax.jit(shard_map(
+                step, mesh=mesh, in_specs=(P(), P("data")),
+                out_specs=P("data")))
+
+            def dp_step(m, xb, _inner=inner_step):
+                n = xb.shape[0]
+                pad = (-n) % args.dp
+                if pad:
+                    xb = jnp.concatenate(
+                        [xb, jnp.repeat(xb[-1:], pad, axis=0)])
+                s, labels = _inner(m, jax.device_put(xb, xsharding))
+                return s[:n], labels[:n]
+
+            step = dp_step
+            print(f"[serve] data-parallel over {args.dp} devices")
         masks, n, t0 = [], 0, time.perf_counter()
         if args.tile:
             from onet_tpu.serve import infer_tiled
