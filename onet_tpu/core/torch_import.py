@@ -107,6 +107,62 @@ def import_torch_state(sd, *, weight_share=None):
     return {"top": pt, "down": pd}, {"top": st, "down": sdn}
 
 
+def _export_double_conv(sd, prefix: str, p, s):
+    sd[prefix + "0.weight"] = _np(p["conv1"]["w"]).transpose(3, 2, 0, 1)
+    sd[prefix + "1.weight"] = _np(p["bn1"]["scale"])
+    sd[prefix + "1.bias"] = _np(p["bn1"]["bias"])
+    sd[prefix + "1.running_mean"] = _np(s["bn1"]["mean"])
+    sd[prefix + "1.running_var"] = _np(s["bn1"]["var"])
+    sd[prefix + "3.weight"] = _np(p["conv2"]["w"]).transpose(3, 2, 0, 1)
+    sd[prefix + "4.weight"] = _np(p["bn2"]["scale"])
+    sd[prefix + "4.bias"] = _np(p["bn2"]["bias"])
+    sd[prefix + "4.running_mean"] = _np(s["bn2"]["mean"])
+    sd[prefix + "4.running_var"] = _np(s["bn2"]["var"])
+
+
+def export_torch_state(params, bn_state):
+    """Inverse of :func:`import_torch_state`: build a reference-schema
+    state_dict (numpy values) from our trees. A weight-shared tree emits
+    BOTH ``topu.*`` and ``dwnu.*`` entries — the reference's shared model
+    registers the same UNet twice, so ``load_state_dict`` (strict) expects
+    both. ``num_batches_tracked`` counters are emitted as zeros (the
+    reference's BN uses fixed momentum, so the counter is inert)."""
+    sd = {}
+    branches = [("topu", "top"), ("dwnu", "down" if "down" in params
+                                  else "top")]
+    for unet, key in branches:
+        p, s = params[key], bn_state[key]
+        _export_double_conv(sd, f"{unet}.inc.double_conv.", p["inc"],
+                            s["inc"])
+        for i in range(1, 5):
+            _export_double_conv(
+                sd, f"{unet}.down{i}.maxpool_conv.1.double_conv.",
+                p[f"down{i}"], s[f"down{i}"])
+        for i in range(1, 5):
+            sd[f"{unet}.up{i}.up.weight"] = _np(
+                p[f"up{i}"]["up"]["w"]).transpose(2, 3, 0, 1)
+            sd[f"{unet}.up{i}.up.bias"] = _np(p[f"up{i}"]["up"]["b"])
+            _export_double_conv(sd, f"{unet}.up{i}.conv.double_conv.",
+                                p[f"up{i}"]["conv"], s[f"up{i}"]["conv"])
+    for k in [k for k in sd if k.endswith("running_mean")]:
+        sd[k[:-len("running_mean")] + "num_batches_tracked"] = (
+            np.zeros((), np.int64))
+    return sd
+
+
+def export_torch_checkpoint(path: str, params, bn_state, epoch: int = 0):
+    """Save our trees as a reference-loadable torch checkpoint
+    (``{"net": state_dict, "epoch": N}``) so models trained here run in
+    the reference's own scripts (``onet.load_state_dict(torch.load(f)
+    ['net'])``, Train_Onet_on_simclutter_20250407.py:493)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_torch_state(params, bn_state).items()}
+    torch.save({"net": sd, "epoch": int(epoch)}, path)
+    return path
+
+
 def import_torch_checkpoint(path: str, *, weight_share=None):
     """Load a reference ``.pt/.pth/.pytorch`` checkpoint file.
 

@@ -39,7 +39,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="onet_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name in ("simclutter", "zy3", "nau", "gen-data", "bench", "sweep",
-                 "serve", "summary", "import-torch"):
+                 "serve", "summary", "import-torch", "export-torch"):
         p = sub.add_parser(name)
         _add_common(p)
         if name == "zy3":
@@ -123,6 +123,14 @@ def main(argv=None):
                            help="output .npz (default: <pt>.npz). Note "
                                 "serve/sweep/nau also accept the .pt "
                                 "file directly")
+        if name == "export-torch":
+            p.add_argument("--model", required=True,
+                           help="onet-tpu .npz checkpoint (model width/"
+                                "channels/twin-ness inferred from it)")
+            p.add_argument("--out", default=None,
+                           help="output .pytorch (default: "
+                                "<model>.pytorch); loads in the "
+                                "reference via torch.load(f)['net']")
     args = parser.parse_args(argv)
 
     from onet_tpu.core.cache import enable_compilation_cache
@@ -175,6 +183,26 @@ def main(argv=None):
         share = "shared" if "down" not in params else "twin"
         print(f"[import-torch] {args.pt} -> {out}: "
               f"{count_parameters(params):.2f} M params ({share}), "
+              f"epoch {epoch}")
+        return
+
+    if args.cmd == "export-torch":
+        # The reverse bridge: models trained here run in the reference's
+        # own torch scripts (onet.load_state_dict(torch.load(f)['net']),
+        # Train_Onet_on_simclutter_20250407.py:493).
+        from onet_tpu.core.checkpoint import load_checkpoint
+        from onet_tpu.core.torch_import import export_torch_checkpoint
+        from onet_tpu.models.onet import onet_init
+        with np.load(args.model) as z:
+            kh, kw, cin, base = z["p:top/inc/conv1/w"].shape
+            twin = any(k.startswith("p:down/") for k in z.files)
+        params, bn = onet_init(jax.random.key(0), cin, base=base,
+                               weight_share=not twin)
+        params, bn, epoch = load_checkpoint(args.model, params, bn)
+        out = args.out or (os.path.splitext(args.model)[0] + ".pytorch")
+        export_torch_checkpoint(out, params, bn, epoch)
+        print(f"[export-torch] {args.model} -> {out}: base {base}, "
+              f"in_channels {cin}, {'twin' if twin else 'shared'}, "
               f"epoch {epoch}")
         return
 

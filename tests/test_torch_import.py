@@ -129,6 +129,54 @@ def test_load_checkpoint_transparent_pt(shared_ckpt_and_mirror):
     assert opt is None
 
 
+def _tree_equal(a, b):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_export_import_roundtrip():
+    from onet_tpu.core.torch_import import export_torch_state
+    for share in (True, False):
+        params, bn = onet_init(jax.random.key(9), 1, base=BASE,
+                               weight_share=share)
+        sd = export_torch_state(params, bn)
+        p2, s2 = import_torch_state(sd)
+        assert ("down" in p2) == (not share)
+        _tree_equal(params, p2)
+        _tree_equal(bn, s2)
+
+
+def test_export_key_schema_matches_reference():
+    """The exported state_dict must carry EXACTLY the reference model's
+    key set (incl. num_batches_tracked), so the reference's strict
+    load_state_dict accepts it."""
+    from onet_tpu.core.torch_import import export_torch_state
+    params, bn = onet_init(jax.random.key(10), 1, base=BASE)
+    exported = set(export_torch_state(params, bn))
+    torch.manual_seed(0)
+    expected = set(reference_state_dict(MirrorOnet(cin=1, base=BASE,
+                                                   share=True)))
+    assert exported == expected
+
+
+def test_cli_export_then_reimport(tmp_path, capsys):
+    from onet_tpu import run as cli
+    from onet_tpu.core.checkpoint import save_checkpoint, load_checkpoint
+    params, bn = onet_init(jax.random.key(11), 2, base=BASE)
+    ck = tmp_path / "m_epoch_7.npz"
+    save_checkpoint(str(ck), params, bn, 7)
+    cli.main(["export-torch", "--model", str(ck)])
+    out = capsys.readouterr().out
+    assert "in_channels 2" in out and "epoch 7" in out
+    pt = tmp_path / "m_epoch_7.pytorch"
+    assert pt.exists()
+    p2, s2, epoch = load_checkpoint(str(pt), *onet_init(
+        jax.random.key(0), 2, base=BASE))
+    assert epoch == 7
+    _tree_equal(params, p2)
+    _tree_equal(bn, s2)
+
+
 def test_cli_import_torch_then_serve(shared_ckpt_and_mirror, tmp_path,
                                      capsys):
     from onet_tpu import run as cli
