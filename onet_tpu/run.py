@@ -35,7 +35,7 @@ def _add_common(p):
     p.add_argument("--fp32", dest="bf16", action="store_false")
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="onet_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name in ("simclutter", "zy3", "nau", "gen-data", "bench", "sweep",
@@ -131,7 +131,11 @@ def main(argv=None):
                            help="output .pytorch (default: "
                                 "<model>.pytorch); loads in the "
                                 "reference via torch.load(f)['net']")
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     from onet_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -379,11 +383,21 @@ def main(argv=None):
                 masks.append(m[None].astype(np.uint8))
                 n += 1
         else:
+            lat = []
             for i in range(0, imgs.shape[0], args.serve_batch):
+                tb = time.perf_counter()
                 xb = jnp.asarray(imgs[i:i + args.serve_batch])
                 _, labels = step(model_arg, xb)
                 masks.append(np.asarray(labels).astype(np.uint8))
+                lat.append(time.perf_counter() - tb)
                 n += xb.shape[0]
+            if len(lat) > 2:
+                # per-batch serving latency (np.asarray is the real
+                # device->host sync on axon); first batch = compile
+                warm = np.asarray(lat[1:]) * 1e3
+                print(f"[serve] latency/batch p50 {np.percentile(warm, 50):.1f} "
+                      f"ms p95 {np.percentile(warm, 95):.1f} ms "
+                      f"(first incl. compile {lat[0] * 1e3:.0f} ms)")
         dt = time.perf_counter() - t0
         masks = np.concatenate(masks)
         np.savez(args.out, masks=masks)
