@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "nau":
             p.add_argument("--model", default=None)
             p.add_argument("--test-file", default=None)
+            p.add_argument("--cfar", type=float, default=None,
+                           metavar="KVAL",
+                           help="ALSO report the CA-CFAR baseline at this "
+                                "threshold factor (reference comparison, "
+                                "exp_nau_rain_20240513.py:115: kval 2.0 "
+                                "~ far 0.03; metrics/cfar.py)")
         if name == "gen-data":
             p.add_argument("--out", default="rayleigh_dataset.npz")
             p.add_argument("--bg", choices=["rayleigh", "k"],
@@ -555,6 +561,19 @@ def main(argv=None):
         out = test_naurain(params, bn, ds, batch_sz=cfg_yaml.batch_sz,
                            policy=policy, ids=ids, fig_path=fig)
         print({k: round(float(v), 4) for k, v in out.items()})
+        if args.cfar is not None:
+            # the reference's CFAR-vs-Onet comparison
+            # (fig_cfar_vs_onet_..., exp_nau_rain_20240513.py:177-251)
+            import jax.numpy as jnp
+            from onet_tpu.metrics.cfar import cfar_seg_batch
+            from onet_tpu.metrics.segmentation import (
+                evaluate_binary_segmentation)
+            pred = cfar_seg_batch(ds["imgs"], args.cfar)
+            m = {k: round(float(v), 4) for k, v in
+                 evaluate_binary_segmentation(
+                     pred, ds["labels"].astype(jnp.int32)).items()}
+            print(f"[nau] CA-CFAR baseline (kval {args.cfar:g}, nref 16, "
+                  f"mguide 8): {m}")
         print(f"[nau] figure: {fig}")
         return
 
