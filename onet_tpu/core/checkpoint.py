@@ -144,3 +144,27 @@ def load_checkpoint(path: str, params_template, state_template,
     has_opt = any(k.startswith("o:") for k in flat)
     opt_state = _unflatten(opt_template, flat, "o:") if has_opt else None
     return params, bn_state, epoch, opt_state
+
+
+def load_onet_auto(path: str):
+    """Load an Onet checkpoint inferring its own architecture.
+
+    Width (base channels), input channels, and twin-vs-shared weights are
+    read from the file itself (npz key shapes, or the torch bridge's
+    auto-detect for reference ``.pt/.pth/.pytorch`` files), so callers
+    need no --base-channels/--in-channels bookkeeping for secondary
+    models (e.g. the stage-2 / twin checkpoints of the NAU comparison
+    figures, exp_nau_rain_20240513.py:327-339). Returns
+    (params, bn_state, epoch).
+    """
+    from onet_tpu.core.torch_import import (TORCH_EXTS,
+                                            import_torch_checkpoint)
+    from onet_tpu.models.onet import onet_init
+    if path.endswith(TORCH_EXTS):
+        return import_torch_checkpoint(path)
+    with np.load(path) as z:
+        _, _, cin, base = z["p:top/inc/conv1/w"].shape
+        twin = any(k.startswith("p:down/") for k in z.files)
+    params, bn = onet_init(jax.random.key(0), cin, base=base,
+                           weight_share=not twin)
+    return load_checkpoint(path, params, bn)

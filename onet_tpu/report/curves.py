@@ -127,6 +127,37 @@ def save_nau_rain_grid(path: str, x: np.ndarray, names: List[str],
     return path
 
 
+def save_method_comparison_grid(path: str, x: np.ndarray, label: np.ndarray,
+                                methods, fars=None, max_rows: int = 5):
+    """Method-comparison layout: one row per frame, columns =
+    input / ground truth / one per method, the method's measured P_fa in
+    the column title (the reference's CFAR/InfoSeg/Onet revision figures,
+    exp_nau_rain_20240513.py:177-261,430-533).
+
+    ``methods`` is an ordered {name: predictions [N, H, W]} dict;
+    ``fars`` optionally maps the same names to a mean false-alarm rate.
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    n = min(max_rows, np.asarray(x).shape[0])
+    cols = ["Input frame", "Ground truth"] + list(methods)
+    fig, axs = plt.subplots(n, len(cols),
+                            figsize=(2.2 * len(cols), 2.2 * n),
+                            squeeze=False,
+                            gridspec_kw={"wspace": 0.01, "hspace": 0.01})
+    arrays = [np.asarray(x), np.asarray(label)] + [
+        np.asarray(v) for v in methods.values()]
+    for c, (name, arr) in enumerate(zip(cols, arrays)):
+        title = name
+        if fars and name in fars:
+            title = f"{name} $P_{{fa}}$={fars[name]:.4f}"
+        axs[0][c].set_title(title, fontsize=9)
+        for r in range(n):
+            _imshow(axs[r][c], arr[r])
+    fig.savefig(path, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+    return path
+
+
 def save_two_stage_grid(path: str, x1: np.ndarray, x2: np.ndarray,
                         fg: np.ndarray, label: np.ndarray,
                         label1: np.ndarray, label2: np.ndarray,

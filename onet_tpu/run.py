@@ -39,7 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="onet_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name in ("simclutter", "zy3", "nau", "gen-data", "bench", "sweep",
-                 "serve", "summary", "import-torch", "export-torch"):
+                 "serve", "summary", "import-torch", "export-torch",
+                 "infoseg"):
         p = sub.add_parser(name)
         _add_common(p)
         if name == "zy3":
@@ -61,6 +62,27 @@ def build_parser() -> argparse.ArgumentParser:
                                 "threshold factor (reference comparison, "
                                 "exp_nau_rain_20240513.py:115: kval 2.0 "
                                 "~ far 0.03; metrics/cfar.py)")
+            p.add_argument("--infoseg", default=None, metavar="CKPT",
+                           help="ALSO report the InfoSeg baseline from "
+                                "this checkpoint (train one with `run "
+                                "infoseg`; reference comparison, "
+                                "exp_nau_rain_20240513.py:312-533)")
+            p.add_argument("--compare-fig", action="store_true",
+                           help="save the method-comparison grid (input/"
+                                "gt/baselines/Onet columns with P_fa "
+                                "titles, the reference's revision "
+                                "figures)")
+            p.add_argument("--model2", default=None, metavar="CKPT",
+                           help="ALSO report the two-stage 'Onet2' "
+                                "ensemble: stage-1 = --model, stage-2 = "
+                                "this checkpoint fed the normalized fg "
+                                "projection (exp_nau_rain_20240513.py:"
+                                "376-393; arch inferred from the file)")
+            p.add_argument("--model-tw", default=None, metavar="CKPT",
+                           help="ALSO report a twin-weights (no-share) "
+                                "'Onet_TW' checkpoint on the same frames "
+                                "(exp_nau figure columns; arch inferred "
+                                "from the file)")
         if name == "gen-data":
             p.add_argument("--out", default="rayleigh_dataset.npz")
             p.add_argument("--bg", choices=["rayleigh", "k"],
@@ -129,6 +151,10 @@ def build_parser() -> argparse.ArgumentParser:
                            help="output .npz (default: <pt>.npz). Note "
                                 "serve/sweep/nau also accept the .pt "
                                 "file directly")
+        if name == "infoseg":
+            p.add_argument("--frames-per-level", type=int, default=150)
+            p.add_argument("--low-snr", type=int, default=0)
+            p.add_argument("--high-snr", type=int, default=2)
         if name == "export-torch":
             p.add_argument("--model", required=True,
                            help="onet-tpu .npz checkpoint (model width/"
@@ -227,6 +253,26 @@ def main(argv=None):
             np.savez(args.out, **arrays)
             written = args.out
         print(f"saved {written}: imgs {d['imgs'].shape}")
+        return
+
+    if args.cmd == "infoseg":
+        # Train the InfoSeg baseline on simulated clutter (the reference's
+        # snapshot-absent InfoSeg_Simbg model, exp_nau_rain_20240513.py:33;
+        # evaluate it beside Onet with `run nau --infoseg <ckpt>`)
+        from onet_tpu.train.infoseg import InfoSegConfig, train
+        cfg = InfoSegConfig(
+            input_sz=args.input_sz, in_channels=args.in_channels,
+            base_channels=args.base_channels, low_snr=args.low_snr,
+            high_snr=args.high_snr, frames_per_level=args.frames_per_level)
+        if args.epochs is not None:
+            cfg.epoch_nums = args.epochs
+        if args.batch_sz is not None:
+            cfg.batch_sz = args.batch_sz
+        if args.out_root is not None:
+            cfg.out_root = args.out_root
+        _, _, hist = train(cfg, policy=policy)
+        final = hist["eval"][cfg.epoch_nums - 1]
+        print({k: round(float(v), 4) for k, v in final.items()})
         return
 
     if args.cmd == "sweep":
@@ -561,19 +607,74 @@ def main(argv=None):
         out = test_naurain(params, bn, ds, batch_sz=cfg_yaml.batch_sz,
                            policy=policy, ids=ids, fig_path=fig)
         print({k: round(float(v), 4) for k, v in out.items()})
+
+        # Baseline comparisons (the reference's revision figures pit Onet
+        # against CFAR and InfoSeg on the same frames,
+        # exp_nau_rain_20240513.py:177-261,312-533)
+        import jax.numpy as jnp
+        from onet_tpu.metrics.segmentation import (
+            align_labels_hungarian, evaluate_binary_segmentation)
+        labels_i = ds["labels"].astype(jnp.int32)
+        baselines = {}  # name -> (pred [N,H,W], metrics)
+        if args.infoseg is not None:
+            from onet_tpu.core.checkpoint import load_checkpoint
+            from onet_tpu.models.infoseg import (
+                infoseg_init, infoseg_forward, get_label)
+            ip, istate = infoseg_init(jax.random.key(0), args.in_channels,
+                                      base=args.base_channels)
+            ip, istate, _ = load_checkpoint(args.infoseg, ip, istate)
+            fwd = jax.jit(lambda x: infoseg_forward(
+                ip, istate, x, train=False, policy=policy)[0].probs)
+            pred = align_labels_hungarian(
+                get_label(fwd(ds["imgs"])), labels_i)
+            m = {k: round(float(v), 4) for k, v in
+                 evaluate_binary_segmentation(pred, labels_i).items()}
+            baselines["InfoSeg"] = (pred, m)
+            print(f"[nau] InfoSeg baseline ({args.infoseg}): {m}")
         if args.cfar is not None:
-            # the reference's CFAR-vs-Onet comparison
-            # (fig_cfar_vs_onet_..., exp_nau_rain_20240513.py:177-251)
-            import jax.numpy as jnp
             from onet_tpu.metrics.cfar import cfar_seg_batch
-            from onet_tpu.metrics.segmentation import (
-                evaluate_binary_segmentation)
             pred = cfar_seg_batch(ds["imgs"], args.cfar)
             m = {k: round(float(v), 4) for k, v in
-                 evaluate_binary_segmentation(
-                     pred, ds["labels"].astype(jnp.int32)).items()}
+                 evaluate_binary_segmentation(pred, labels_i).items()}
+            baselines["CFAR"] = (pred, m)
             print(f"[nau] CA-CFAR baseline (kval {args.cfar:g}, nref 16, "
                   f"mguide 8): {m}")
+        if args.model_tw is not None:
+            from onet_tpu.core.checkpoint import load_onet_auto
+            from onet_tpu.train.nau import make_transfer_eval
+            tw_p, tw_bn, _ = load_onet_auto(args.model_tw)
+            _, _, pred, _ = make_transfer_eval(policy=policy)(
+                tw_p, tw_bn, ds["imgs"], ds["labels"])
+            m = {k: round(float(v), 4) for k, v in
+                 evaluate_binary_segmentation(pred, labels_i).items()}
+            baselines["Onet_TW"] = (pred, m)
+            print(f"[nau] Onet_TW ({args.model_tw}): {m}")
+        if args.model2 is not None:
+            from onet_tpu.core.checkpoint import load_onet_auto
+            from onet_tpu.train.two_stage import make_two_stage_eval
+            p2, bn2, _ = load_onet_auto(args.model2)
+            _, m2, _, pred2, _ = make_two_stage_eval(policy=policy)(
+                params, bn, p2, bn2, ds["imgs"], ds["labels"])
+            m = {k: round(float(v), 4) for k, v in m2.items()}
+            baselines["Onet2"] = (pred2, m)
+            print(f"[nau] Onet2 two-stage ({args.model2}): {m}")
+        if args.compare_fig:
+            from onet_tpu.report.curves import save_method_comparison_grid
+            from onet_tpu.train.nau import make_transfer_eval
+            eval_batch = make_transfer_eval(policy=policy)
+            _, _, onet_pred, _ = eval_batch(params, bn, ds["imgs"],
+                                            ds["labels"])
+            methods = {k: np.asarray(v[0]) for k, v in baselines.items()}
+            fars = {k: v[1]["far"] for k, v in baselines.items()}
+            methods["Onet"] = np.asarray(onet_pred)
+            fars["Onet"] = round(float(out["far"]), 4)
+            cmp_path = os.path.join(
+                args.out_root or cfg_yaml.out_root,
+                "exp_naurain_method_comparison.png")
+            save_method_comparison_grid(
+                cmp_path, np.asarray(ds["imgs"][..., 0]),
+                np.asarray(ds["labels"]), methods, fars)
+            print(f"[nau] comparison figure: {cmp_path}")
         print(f"[nau] figure: {fig}")
         return
 
