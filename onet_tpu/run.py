@@ -107,6 +107,13 @@ def build_parser() -> argparse.ArgumentParser:
                                 "params replicated, batch sharded, GSPMD "
                                 "gradient all-reduce over ICI). 0 = single "
                                 "device")
+            p.add_argument("--no-weight-share", dest="weight_share",
+                           action="store_false", default=True,
+                           help="train the twin-weights variant (separate "
+                                "U-Nets per branch; the reference's "
+                                "bshare=False 'Onet_TW' ablation, "
+                                "Onet_vanilla_20240606.py:157-170 — its "
+                                "checkpoints feed nau --model-tw)")
         if name == "sweep":
             p.add_argument("--model", default=None,
                            help=".npz checkpoint (fresh init if absent)")
@@ -496,6 +503,7 @@ def main(argv=None):
             out_root=args.out_root or cfg_yaml.out_root,
             base_channels=args.base_channels,
             quantized=args.int8_train,
+            weight_share=args.weight_share,
         )
         mesh = None
         if args.dp:
