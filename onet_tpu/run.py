@@ -149,6 +149,14 @@ def build_parser() -> argparse.ArgumentParser:
                                 "(params replicated, batch sharded over "
                                 "the mesh; composes with --int8/"
                                 "--far-budget/--tile). 0 = single device")
+            p.add_argument("--http", type=int, default=None, metavar="PORT",
+                           help="stay resident and serve the warm compiled "
+                                "graph over HTTP (npy in/out; 0 = ephemeral "
+                                "port; composes with --int8/--far-budget/"
+                                "--tile/--dp; serve/http.py)")
+            p.add_argument("--http-requests", type=int, default=0,
+                           help="with --http: answer N requests then exit "
+                                "(0 = run forever; ops/test hook)")
         if name == "import-torch":
             p.add_argument("--pt", required=True,
                            help="reference .pt/.pth/.pytorch checkpoint "
@@ -433,6 +441,40 @@ def main(argv=None):
 
             step = dp_step
             print(f"[serve] data-parallel over {args.dp} devices")
+        if args.http is not None:
+            # resident daemon: the compiled graph stays warm and answers
+            # npy-over-HTTP (serve/http.py). The pipeline above (int8 /
+            # detector / dp / tiling) is exactly what gets served.
+            from onet_tpu.serve.http import ServingSession, start_server
+            mode = ("int8" if args.int8 else
+                    "bf16" if args.bf16 else "fp32")
+            if args.far_budget:
+                mode += f"+detector@far{args.far_budget:g}"
+            if args.dp:
+                mode += f"+dp{args.dp}"
+            sess = ServingSession(
+                step, model_arg, batch=args.serve_batch,
+                in_channels=args.in_channels, mode=mode,
+                model_name=os.path.basename(args.model),
+                tile=args.tile, halo=args.halo,
+                input_hw=tuple(imgs.shape[1:3]))
+            sess.warmup()
+            httpd = start_server(sess, args.http)
+            host, port = httpd.server_address[:2]
+            print(f"[serve:http] {mode} listening on http://{host}:{port} "
+                  f"(batch {args.serve_batch}, warm at "
+                  f"{sess.input_hw[0]}x{sess.input_hw[1]})", flush=True)
+            try:
+                if args.http_requests:
+                    for _ in range(args.http_requests):
+                        httpd.handle_request()
+                else:
+                    httpd.serve_forever()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                httpd.server_close()
+            return
         masks, n, t0 = [], 0, time.perf_counter()
         if args.tile:
             from onet_tpu.serve import infer_tiled
