@@ -57,7 +57,7 @@ def simclutter_datasets(key, *, low_snr: int = 0, high_snr: int = 2,
                         train_frac: float = 0.9,
                         source: Optional[ArrayDataset] = None,
                         frames_per_level: int = 150, crop: int = 224,
-                        bg: str = "rayleigh"):
+                        bg: str = "rayleigh", equal_split: bool = False):
     """(train, test) ArrayDatasets for the simclutter workload.
 
     With no ``source``, generates the clutter dataset on device (the
@@ -65,6 +65,13 @@ def simclutter_datasets(key, *, low_snr: int = 0, high_snr: int = 2,
     discarding the rest would be wasted FLOPs). ``bg`` selects the clutter
     family ("rayleigh" or "k"), mirroring the reference's bg_type
     (Rayleigh_bg_Gaussian_EOT_generator_20230208.py:251-275).
+
+    ``equal_split=True`` splits 90/10 *per SNR level* and concatenates —
+    the reference's equalized-distribution loader
+    (``make_dataloader_eq_dist_in_snr_range``,
+    dataloader/simbg4onet_20230209.py:242-288), which guarantees every
+    level appears in both splits at exactly ``train_frac``. The default
+    global shuffled split matches ``make_dataloader_snr_range`` (:290-359).
     """
     k_gen, k_split = jax.random.split(key)
     if source is None:
@@ -78,4 +85,18 @@ def simclutter_datasets(key, *, low_snr: int = 0, high_snr: int = 2,
     # loader-level per-frame normalization (reference re-normalizes even
     # already-normalized frames; idempotent for generated data)
     ds = ArrayDataset({**ds.data, "imgs": minmax_per_frame(ds["imgs"])})
-    return train_test_split(ds, k_split, train_frac)
+    if not equal_split:
+        return train_test_split(ds, k_split, train_frac)
+    trains, tests = [], []
+    for i, lvl in enumerate(sorted(set(np.asarray(ds["psnr"]).tolist()))):
+        sub = filter_by_snr_range(ds, int(lvl), int(lvl))
+        tr, te = train_test_split(sub, jax.random.fold_in(k_split, i),
+                                  train_frac)
+        trains.append(tr)
+        tests.append(te)
+
+    def _cat(parts):
+        return ArrayDataset({k: jnp.concatenate([p[k] for p in parts])
+                             for k in parts[0].data})
+
+    return _cat(trains), _cat(tests)

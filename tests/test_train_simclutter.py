@@ -81,3 +81,22 @@ def test_kdist_background_workload():
     for i in range(2):
         params, bn, opt, loss = step(params, bn, opt, tr["imgs"][:4], 1e-4)
     assert bool(jax.numpy.isfinite(loss))
+
+
+def test_equal_split_per_snr():
+    """equal_split=True is the reference's equalized-distribution loader
+    (make_dataloader_eq_dist_in_snr_range, simbg4onet_20230209.py:242-288):
+    every SNR level lands in both splits at exactly train_frac."""
+    import jax
+    import numpy as np
+
+    from onet_tpu.data.simclutter import simclutter_datasets
+
+    tr, te = simclutter_datasets(jax.random.key(0), low_snr=3, high_snr=5,
+                                 frames_per_level=10, crop=32,
+                                 equal_split=True)
+    for lvl in (3, 4, 5):
+        assert int((np.asarray(tr["psnr"]) == lvl).sum()) == 9, lvl
+        assert int((np.asarray(te["psnr"]) == lvl).sum()) == 1, lvl
+    # the global split has no per-level guarantee; sizes still 90/10
+    assert len(tr) == 27 and len(te) == 3
