@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
                                 "params replicated, batch sharded, GSPMD "
                                 "gradient all-reduce over ICI). 0 = single "
                                 "device")
+            p.add_argument("--pp", type=int, default=0, metavar="M",
+                           help="pipeline-parallel training: GPipe "
+                                "encoder|decoder stages over 2 devices with "
+                                "M microbatches (parallel/pipeline.py; exact "
+                                "vs gradient accumulation). Composes with "
+                                "--dp N (needs 2*N devices). 0 = off")
             p.add_argument("--no-weight-share", dest="weight_share",
                            action="store_false", default=True,
                            help="train the twin-weights variant (separate "
@@ -548,7 +554,26 @@ def main(argv=None):
             weight_share=args.weight_share,
         )
         mesh = None
-        if args.dp:
+        pp_microbatches = None
+        if args.pp:
+            from onet_tpu.core.mesh import DATA_AXIS, make_mesh
+            from onet_tpu.parallel.pipeline import STAGE_AXIS
+            data = args.dp or 1
+            need = 2 * data
+            devs = jax.devices()
+            if len(devs) < need:
+                raise SystemExit(f"--pp with --dp {data} needs {need} "
+                                 f"devices, only {len(devs)} visible")
+            if not args.weight_share:
+                raise SystemExit("--pp supports weight-shared models only")
+            if args.int8_train:
+                raise SystemExit("--pp and --int8-train are exclusive")
+            mesh = make_mesh(shape=(data, 2), devices=devs[:need],
+                             axis_names=(DATA_AXIS, STAGE_AXIS))
+            pp_microbatches = args.pp
+            print(f"[simclutter] pipeline over {need} devices "
+                  f"(data={data} x stage=2, {args.pp} microbatches)")
+        elif args.dp:
             from onet_tpu.core.mesh import make_mesh
             devs = jax.devices()
             if len(devs) < args.dp:
@@ -559,7 +584,8 @@ def main(argv=None):
                                  f"--dp {args.dp}")
             mesh = make_mesh(shape=(args.dp, 1), devices=devs[:args.dp])
             print(f"[simclutter] data-parallel over {args.dp} devices")
-        train(cfg, policy=policy, datasets=datasets, mesh=mesh)
+        train(cfg, policy=policy, datasets=datasets, mesh=mesh,
+              pipeline_microbatches=pp_microbatches)
         return
 
     if args.cmd == "zy3":

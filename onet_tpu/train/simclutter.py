@@ -90,8 +90,14 @@ def evaluate(eval_step, params, bn_state, test_ds: ArrayDataset, batch_sz: int):
 
 def train(config: SimclutterConfig = SimclutterConfig(), *,
           policy: Policy = DEFAULT, mesh=None,
+          pipeline_microbatches: int = None,
           datasets=None, log: bool = True, progress_cb=None):
-    """Run the workload. Returns (params, bn_state, history)."""
+    """Run the workload. Returns (params, bn_state, history).
+
+    ``pipeline_microbatches``: train via the exact GPipe pipeline
+    (parallel/pipeline.py) on ``mesh`` (a ``('data', 'stage')`` mesh);
+    eval stays replicated single-graph (the pipeline is a training
+    structure — inference has no gradient/BN-update to stage)."""
     key = jax.random.key(config.seed)
     k_data, k_model, k_loop = jax.random.split(key, 3)
 
@@ -107,11 +113,25 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
                                  weight_share=config.weight_share,
                                  base=config.base_channels)
     opt_state = adam_init(params)
-    train_step = make_train_step(policy=policy, mesh=mesh, bias=config.bias,
-                                 quantized=config.quantized)
-    eval_step = make_eval_step(policy=policy, align="flip", mesh=mesh,
-                               bias=config.bias)
-    if mesh is not None:
+    if pipeline_microbatches:
+        if mesh is None:
+            raise ValueError("pipeline_microbatches requires a "
+                             "('data', 'stage') mesh")
+        if config.quantized:
+            raise ValueError("pipeline training is exact-arithmetic only")
+        from onet_tpu.parallel.pipeline import make_pp_train_step
+        train_step = make_pp_train_step(
+            mesh, microbatches=pipeline_microbatches, policy=policy,
+            bias=config.bias)
+        eval_step = make_eval_step(policy=policy, align="flip",
+                                   bias=config.bias)
+    else:
+        train_step = make_train_step(policy=policy, mesh=mesh,
+                                     bias=config.bias,
+                                     quantized=config.quantized)
+        eval_step = make_eval_step(policy=policy, align="flip", mesh=mesh,
+                                   bias=config.bias)
+    if mesh is not None and not pipeline_microbatches:
         # remainder eval batches can't shard over the data axis; fall back
         # to a replicated single-compile eval for those
         ndev = int(mesh.devices.size)
@@ -154,6 +174,12 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
         for bi, batch in enumerate(batch_iterator(train_ds, config.batch_sz,
                                                   key=ek)):
             x = batch["imgs"]
+            if pipeline_microbatches:
+                # GPipe needs full microbatches: drop the ragged tail
+                # (shuffled each epoch, so no frame is systematically lost)
+                div = pipeline_microbatches * int(mesh.shape["data"])
+                if x.shape[0] % div:
+                    continue
             if config.aug:
                 from onet_tpu.data.augment import simclutter_pixel_augment
                 x = simclutter_pixel_augment(jax.random.fold_in(ek, bi), x)

@@ -238,6 +238,30 @@ def test_cli_simclutter_dp_mesh(tmp_path, capsys, monkeypatch):
     assert "===Epoch" in out
 
 
+def test_cli_simclutter_pp_mesh(tmp_path, capsys, monkeypatch):
+    """simclutter --pp M trains through the GPipe pipeline on a
+    (data x stage) mesh from the CLI, composing with --dp."""
+    from onet_tpu import run as cli
+    import onet_tpu.data.simclutter as S
+
+    real = S.simclutter_datasets
+
+    def tiny(key, **kw):
+        kw.update(frames_per_level=6, crop=32)
+        return real(key, low_snr=kw.pop("low_snr", 0),
+                    high_snr=kw.pop("high_snr", 2), **kw)
+
+    monkeypatch.setattr("onet_tpu.train.simclutter.simclutter_datasets",
+                        tiny)
+    cli.main(["simclutter", "--epochs", "2", "--batch-sz", "4",
+              "--pp", "2", "--dp", "2", "--base-channels", "8", "--fp32",
+              "--out-root", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "pipeline over 4 devices (data=2 x stage=2, 2 microbatches)" \
+        in out
+    assert "===Epoch" in out
+
+
 def test_cli_summary(capsys):
     from onet_tpu import run as cli
     cli.main(["summary", "--base-channels", "8", "--input-sz", "64"])
