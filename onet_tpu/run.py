@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name in ("simclutter", "zy3", "nau", "gen-data", "bench", "sweep",
                  "serve", "summary", "import-torch", "export-torch",
-                 "infoseg"):
+                 "infoseg", "iic"):
         p = sub.add_parser(name)
         _add_common(p)
         if name == "zy3":
@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                                 "this checkpoint (train one with `run "
                                 "infoseg`; reference comparison, "
                                 "exp_nau_rain_20240513.py:312-533)")
+            p.add_argument("--iic", default=None, metavar="CKPT",
+                           help="ALSO report the IIC baseline from this "
+                                "checkpoint (train one with `run iic`; "
+                                "the fourth model family of the united "
+                                "config, config_tip2022_20230411.py:2)")
             p.add_argument("--compare-fig", action="store_true",
                            help="save the method-comparison grid (input/"
                                 "gt/baselines/Onet columns with P_fa "
@@ -172,7 +177,7 @@ def build_parser() -> argparse.ArgumentParser:
                            help="output .npz (default: <pt>.npz). Note "
                                 "serve/sweep/nau also accept the .pt "
                                 "file directly")
-        if name == "infoseg":
+        if name in ("infoseg", "iic"):
             p.add_argument("--frames-per-level", type=int, default=150)
             p.add_argument("--low-snr", type=int, default=0)
             p.add_argument("--high-snr", type=int, default=2)
@@ -282,6 +287,27 @@ def main(argv=None):
         # evaluate it beside Onet with `run nau --infoseg <ckpt>`)
         from onet_tpu.train.infoseg import InfoSegConfig, train
         cfg = InfoSegConfig(
+            input_sz=args.input_sz, in_channels=args.in_channels,
+            base_channels=args.base_channels, low_snr=args.low_snr,
+            high_snr=args.high_snr, frames_per_level=args.frames_per_level)
+        if args.epochs is not None:
+            cfg.epoch_nums = args.epochs
+        if args.batch_sz is not None:
+            cfg.batch_sz = args.batch_sz
+        if args.out_root is not None:
+            cfg.out_root = args.out_root
+        _, _, hist = train(cfg, policy=policy)
+        final = hist["eval"][cfg.epoch_nums - 1]
+        print({k: round(float(v), 4) for k, v in final.items()})
+        return
+
+    if args.cmd == "iic":
+        # Train the IIC baseline on simulated clutter (the united config's
+        # fourth model family, config_tip2022_20230411.py:2,46-100 — module
+        # absent from the snapshot, rebuilt from the published method;
+        # evaluate it beside Onet with `run nau --iic <ckpt>`)
+        from onet_tpu.train.iic import IICConfig, train
+        cfg = IICConfig(
             input_sz=args.input_sz, in_channels=args.in_channels,
             base_channels=args.base_channels, low_snr=args.low_snr,
             high_snr=args.high_snr, frames_per_level=args.frames_per_level)
@@ -707,6 +733,21 @@ def main(argv=None):
                  evaluate_binary_segmentation(pred, labels_i).items()}
             baselines["InfoSeg"] = (pred, m)
             print(f"[nau] InfoSeg baseline ({args.infoseg}): {m}")
+        if args.iic is not None:
+            from onet_tpu.core.checkpoint import load_checkpoint
+            from onet_tpu.models.iic import (
+                iic_init, iic_forward, get_label as iic_get_label)
+            qp, qstate = iic_init(jax.random.key(0), args.in_channels,
+                                  base=args.base_channels)
+            qp, qstate, _ = load_checkpoint(args.iic, qp, qstate)
+            fwd = jax.jit(lambda x: iic_forward(
+                qp, qstate, x, train=False, policy=policy)[0].probs)
+            pred = align_labels_hungarian(
+                iic_get_label(fwd(ds["imgs"])), labels_i)
+            m = {k: round(float(v), 4) for k, v in
+                 evaluate_binary_segmentation(pred, labels_i).items()}
+            baselines["IIC"] = (pred, m)
+            print(f"[nau] IIC baseline ({args.iic}): {m}")
         if args.cfar is not None:
             from onet_tpu.metrics.cfar import cfar_seg_batch
             pred = cfar_seg_batch(ds["imgs"], args.cfar)
