@@ -148,8 +148,11 @@ def train(config: IICConfig = IICConfig(), *,
                                config.batch_sz)
             history["eval"][epoch] = metrics
             if log:
-                print(epoch_log_line(config.model_name, epoch, loss_epoch,
-                                     lr, metrics))
+                import logging
+                line = epoch_log_line(config.model_name, epoch, loss_epoch,
+                                      lr, metrics)
+                print(line)
+                logging.info(line)
 
     path = os.path.join(
         config.out_root,
