@@ -240,8 +240,10 @@ def iic_joint(p1, p2, mask, *, radius: int = 1):
 
 
 def mutual_information(joint, *, lam: float = LAMBDA):
-    """I_lambda of a normalized joint (square joints are symmetrized
-    first, paper §3.1; the aux head's K x K_aux joint stays as-is)."""
+    """I_lambda of a normalized joint. Square joints — both the main
+    K x K and the aux K_aux x K_aux (each head pairs with ITSELF across
+    views) — are symmetrized first (paper §3.1); the shape guard only
+    spares hypothetical cross-head rectangular joints."""
     if joint.shape[0] == joint.shape[1]:
         joint = (joint + joint.T) / 2.0
     pi = jnp.sum(joint, axis=1, keepdims=True)

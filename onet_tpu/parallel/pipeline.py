@@ -154,7 +154,9 @@ def make_pp_loss_fn(mesh, *, microbatches: int, policy: Policy = DEFAULT,
     fwd = [(s, s + 1) for s in range(N_STAGES - 1)]
 
     def sharded_loss(params, bn_state, xm):
-        assert is_weight_shared(params), "pipeline: weight-shared only"
+        if not is_weight_shared(params):
+            raise ValueError("pipeline parallelism supports weight-shared "
+                             "models only (params must have no 'down' twin)")
         p = params["top"]
         m = xm.shape[1]                      # local microbatch size
         base = p["inc"]["conv1"]["w"].shape[-1]

@@ -594,6 +594,10 @@ def main(argv=None):
                 raise SystemExit("--pp supports weight-shared models only")
             if args.int8_train:
                 raise SystemExit("--pp and --int8-train are exclusive")
+            if cfg.batch_sz % (args.pp * data):
+                raise SystemExit(
+                    f"batch {cfg.batch_sz} not divisible into {args.pp} "
+                    f"microbatches x {data} data shards (use --batch-sz)")
             mesh = make_mesh(shape=(data, 2), devices=devs[:need],
                              axis_names=(DATA_AXIS, STAGE_AXIS))
             pp_microbatches = args.pp

@@ -12,22 +12,19 @@ label alignment for the unsupervised metric bundle.
 from __future__ import annotations
 
 import dataclasses
-import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-from onet_tpu.core.checkpoint import save_checkpoint, datehour_mark
 from onet_tpu.core.policy import Policy, DEFAULT
-from onet_tpu.data.arrays import ArrayDataset, batch_iterator
 from onet_tpu.data.simclutter import simclutter_datasets
 from onet_tpu.metrics.segmentation import (
     align_labels_hungarian, evaluate_binary_segmentation)
 from onet_tpu.models.infoseg import (
     infoseg_init, infoseg_forward, compute_infoseg_loss, get_label)
-from onet_tpu.report.logs import epoch_log_line, setup_logging
-from onet_tpu.train.optim import adam_init, adam_update, step_decay
+from onet_tpu.train.baseline import baseline_training_loop
+from onet_tpu.train.optim import adam_init, adam_update
 
 
 @dataclasses.dataclass
@@ -76,17 +73,6 @@ def make_infoseg_eval_step(policy: Policy = DEFAULT):
     return step
 
 
-def evaluate(eval_step, params, state, test_ds: ArrayDataset,
-             batch_sz: int):
-    sums, n = None, 0
-    for batch in batch_iterator(test_ds, batch_sz):
-        m = {k: float(v) for k, v in eval_step(
-            params, state, batch["imgs"], batch["labels"]).items()}
-        sums = m if sums is None else {k: sums[k] + m[k] for k in sums}
-        n += 1
-    return {k: v / n for k, v in sums.items()}
-
-
 def train(config: InfoSegConfig = InfoSegConfig(), *,
           policy: Policy = DEFAULT, datasets=None, log: bool = True):
     """Train the InfoSeg baseline. Returns (params, state, history)."""
@@ -102,41 +88,7 @@ def train(config: InfoSegConfig = InfoSegConfig(), *,
     params, state = infoseg_init(k_model, config.in_channels,
                                  config.k_classes,
                                  base=config.base_channels)
-    opt_state = adam_init(params)
-    train_step = make_infoseg_train_step(policy)
-    eval_step = make_infoseg_eval_step(policy)
-    if log:
-        setup_logging(config.out_root, config.model_name)
-
-    history = {"loss": [], "eval": {}}
-    for epoch in range(config.epoch_nums):
-        lr = step_decay(config.base_lr, epoch, every=config.lr_decay_every,
-                        factor=config.lr_decay)
-        losses = []
-        ek = jax.random.fold_in(k_loop, epoch)
-        for batch in batch_iterator(train_ds, config.batch_sz, key=ek,
-                                    drop_last=True):
-            params, state, opt_state, loss = train_step(
-                params, state, opt_state, batch["imgs"], lr)
-            losses.append(loss)
-        loss_epoch = float(jnp.mean(jnp.stack(losses)))
-        history["loss"].append(loss_epoch)
-        if epoch % config.eval_every == 0 or epoch == config.epoch_nums - 1:
-            metrics = evaluate(eval_step, params, state, test_ds,
-                               config.batch_sz)
-            history["eval"][epoch] = metrics
-            if log:
-                import logging
-                line = epoch_log_line(config.model_name, epoch, loss_epoch,
-                                      lr, metrics)
-                print(line)
-                logging.info(line)
-
-    path = os.path.join(
-        config.out_root,
-        f"{config.model_name}_{datehour_mark()}_epoch_"
-        f"{config.epoch_nums - 1}.npz")
-    save_checkpoint(path, params, state, config.epoch_nums - 1, opt_state)
-    if log:
-        print(f"[infoseg] checkpoint: {path}")
-    return params, state, history
+    return baseline_training_loop(
+        config, params, state, adam_init(params),
+        make_infoseg_train_step(policy), make_infoseg_eval_step(policy),
+        train_ds, test_ds, k_loop, log=log, tag="infoseg")

@@ -186,6 +186,10 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
             params, bn_state, opt_state, loss = train_step(
                 params, bn_state, opt_state, x, lr)
             losses.append(loss)
+        if not losses:
+            raise ValueError(
+                f"every batch was dropped: no batch of {config.batch_sz} "
+                "divides into the pipeline's microbatches x data shards")
         loss_epoch = float(jnp.mean(jnp.stack(losses)))
         history["loss"].append(loss_epoch)
 
