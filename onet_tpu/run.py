@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                                 "zy3_cloud_thumbnailv5_20240304.py:262-309)")
             p.add_argument("--n-train", type=int, default=64)
             p.add_argument("--n-test", type=int, default=16)
+            p.add_argument("--dp", type=int, default=0,
+                           help="data-parallel training over N devices "
+                                "(same mesh semantics as simclutter --dp; "
+                                "batch and frame counts must divide N). "
+                                "0 = single device")
         if name == "nau":
             p.add_argument("--model", default=None)
             p.add_argument("--test-file", default=None)
@@ -663,7 +668,21 @@ def main(argv=None):
             out_root=args.out_root or cfg_yaml.out_root,
             base_channels=args.base_channels,
         )
-        params, bn_state, _ = train(cfg, train_ds, test_ds, policy=policy)
+        mesh = None
+        if args.dp:
+            from onet_tpu.core.mesh import make_mesh
+            devs = jax.devices()
+            if len(devs) < args.dp:
+                raise SystemExit(f"--dp {args.dp} but only {len(devs)} "
+                                 "devices visible")
+            if cfg.batch_sz % args.dp or len(train_ds) % cfg.batch_sz:
+                raise SystemExit(
+                    f"batch {cfg.batch_sz} must divide --dp {args.dp} and "
+                    f"the {len(train_ds)} train frames (use --batch-sz)")
+            mesh = make_mesh(shape=(args.dp, 1), devices=devs[:args.dp])
+            print(f"[zy3] data-parallel over {args.dp} devices")
+        params, bn_state, _ = train(cfg, train_ds, test_ds, policy=policy,
+                                    mesh=mesh)
         # divided-testset Excel report with embedded thumbnails
         # (save_zy3_test_results_to_excel, uti_zy3_test_20240123.py:320-429)
         from onet_tpu.train.zy3 import save_zy3_test_results, GROUP_NAMES

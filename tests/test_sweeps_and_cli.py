@@ -137,6 +137,24 @@ def test_cli_zy3_cloud_addition(tmp_path, capsys, monkeypatch):
     assert "cloudadd" in out or os.path.exists(str(tmp_path))
 
 
+def test_cli_zy3_dp_mesh(tmp_path, capsys, monkeypatch):
+    """zy3 --dp N trains data-parallel on the virtual mesh from the CLI
+    (all training workloads scale from the product surface)."""
+    from onet_tpu import run as cli
+    import onet_tpu.data.zy3 as Z
+
+    real = Z.synthesize_zy3
+    monkeypatch.setattr(
+        "onet_tpu.data.zy3.synthesize_zy3",
+        lambda key, n=16, **kw: real(key, n=8, size=32))
+    cli.main(["zy3", "--epochs", "2", "--batch-sz", "4", "--dp", "4",
+              "--base-channels", "8", "--fp32",
+              "--out-root", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "data-parallel over 4 devices" in out
+    assert "===Epoch" in out
+
+
 def test_cli_serve_detector_far_budget(tmp_path, capsys):
     """serve --far-budget emits THRESHOLDED detection masks with the
     calibrated threshold stored next to the checkpoint (the low-SNR
