@@ -269,6 +269,66 @@ def compute_loss(out: OnetOutput) -> jnp.ndarray:
     return -(jsd_top + jsd_dwn) / 2.0
 
 
+def compute_loss_rsn(out: OnetOutput) -> jnp.ndarray:
+    """RSN ablation loss: Random-Sampling-Negative JSD.
+
+    The reference ablates its complement-branch negative against the
+    classic MI-estimator convention of randomly sampled negatives (the
+    commented ``onet_ablation_RSN_20230626`` module, "ablation on random
+    sampling negative", Train_Onet_on_simclutter_20250407.py:37,551-607 and
+    Train_Onet_on_zy3_20240606.py:225-270; the module is absent from the
+    snapshot — SURVEY section 2.9). Rebuilt per the Deep-InfoMax
+    negative-sampling convention the name describes: each branch's negative
+    score map comes from ANOTHER image in the batch (batch roll — the
+    in-batch pairing DIM uses) instead of the complement branch's aligned
+    map. Needs batch >= 2 or the negative degenerates to the positive.
+    """
+    if out.S.shape[0] < 2:
+        raise ValueError("RSN loss needs batch >= 2 (in-batch negatives)")
+    if out.Lsum is not None:
+        lt, ld = out.Lsum[..., 0], out.Lsum[..., 1]
+    else:
+        lt = jnp.sum(out.Lt.astype(jnp.float32), axis=-1)
+        ld = jnp.sum(out.Ld.astype(jnp.float32), axis=-1)
+    st, sd = out.S[..., 0], out.S[..., 1]
+    jsd_top = jsd(lt, st, jnp.roll(st, 1, axis=0))
+    jsd_dwn = jsd(ld, sd, jnp.roll(sd, 1, axis=0))
+    return -(jsd_top + jsd_dwn) / 2.0
+
+
+LOSSES = {"jsd": compute_loss, "rsn": compute_loss_rsn}
+
+
+def stateless_onet_forward(apply_fn, params, state, x, *, bias: float = 0.0,
+                           policy: Policy = DEFAULT):
+    """Onet container for stateless (LayerNorm) backbones — the shared
+    machinery of the transformer/ConvNeXt ablation families (models/arch.py).
+
+    ``apply_fn(branch_params, x, policy=...) -> (loc, glob)`` with both
+    outputs [N, H, W, C]. Normalization without cross-sample statistics
+    makes the weight-shared [2B] batch-stacked twin pass STRUCTURALLY equal
+    to two sequential branch passes (the BatchNorm backbone needs grouped
+    statistics for the same contract, models/layers.py). Head semantics are
+    the unchanged reference machinery (Onet_vanilla_20240606.py:174-191).
+    """
+    xd = complement(x, bias)
+    b = x.shape[0]
+    if "down" not in params:
+        xx = jnp.concatenate([x, xd], axis=0)           # [2B, H, W, C]
+        loc, glob = apply_fn(params["top"], xx, policy=policy)
+        lt, ld = loc[:b], loc[b:]
+        ht, hd = glob[:b], glob[b:]
+    else:
+        lt, ht = apply_fn(params["top"], x, policy=policy)
+        ld, hd = apply_fn(params["down"], xd, policy=policy)
+    vt = channel_dot(lt.astype(jnp.float32), ht.astype(jnp.float32))
+    vd = channel_dot(ld.astype(jnp.float32), hd.astype(jnp.float32))
+    s = jax.nn.softmax(jnp.stack([vt, vd], axis=-1), axis=-1)
+    lsum = jnp.stack([jnp.sum(lt.astype(jnp.float32), axis=-1),
+                      jnp.sum(ld.astype(jnp.float32), axis=-1)], axis=-1)
+    return OnetOutput(Lt=lt, Ld=ld, Vt=vt, Vd=vd, S=s, Lsum=lsum), state
+
+
 def get_label(vt: jnp.ndarray, vd: jnp.ndarray):
     """Re-softmax raw projection maps into (labels, probabilities) — the
     no-grad Onet.get_label path (Onet_vanilla_20240606.py:204-219)."""

@@ -43,6 +43,43 @@ def build_parser() -> argparse.ArgumentParser:
                  "infoseg", "iic"):
         p = sub.add_parser(name)
         _add_common(p)
+        if name in ("simclutter", "zy3"):
+            p.add_argument("--arch",
+                           choices=["vanilla", "swin", "convnext",
+                                    "transunet"],
+                           default="vanilla",
+                           help="backbone family (models/arch.py): the "
+                                "vanilla conv U-Net, the Swin-Unet "
+                                "transformer ablation, the ConvNeXt-UNet "
+                                "ablation, or the TransUNet hybrid-ViT "
+                                "ablation (the reference's absent "
+                                "Onet_Swin_Unet / ConvNeXt / "
+                                "Onet_Trans_Unet variant modules, "
+                                "Train_Onet_on_zy3_20240606.py:"
+                                "22-28,313-382, rebuilt from the "
+                                "published methods)")
+            p.add_argument("--swin-window", type=int, default=7,
+                           help="Swin attention window (7 fits 224^2 "
+                                "inputs, 8 fits 512^2)")
+            p.add_argument("--swin-embed", type=int, default=96,
+                           help="Swin embed width (96 = published Swin-T)")
+            p.add_argument("--convnext-embed", type=int, default=96,
+                           help="ConvNeXt stage-0 width (96 = published "
+                                "ConvNeXt-T)")
+            p.add_argument("--transunet-embed", type=int, default=768,
+                           help="TransUNet ViT hidden width (768 = "
+                                "published ViT-B; must be divisible "
+                                "by 48)")
+            p.add_argument("--transunet-depth", type=int, default=12,
+                           help="TransUNet ViT depth (12 = published "
+                                "ViT-B)")
+            p.add_argument("--loss", choices=["jsd", "rsn"], default="jsd",
+                           help="training objective: the reference JSD "
+                                "(complement-branch negatives) or the RSN "
+                                "random-sampling-negative ablation "
+                                "(in-batch negatives; the reference's "
+                                "train_rsn_model path, Train_Onet_on_zy3_"
+                                "20240606.py:225-269)")
         if name == "zy3":
             p.add_argument("--train-file", default=None)
             p.add_argument("--test-file", default=None)
@@ -583,7 +620,18 @@ def main(argv=None):
             base_channels=args.base_channels,
             quantized=args.int8_train,
             weight_share=args.weight_share,
+            arch=args.arch,
+            swin_window=args.swin_window,
+            swin_embed=args.swin_embed,
+            convnext_embed=args.convnext_embed,
+            transunet_embed=args.transunet_embed,
+            transunet_depth=args.transunet_depth,
+            loss=args.loss,
         )
+        if args.arch != "vanilla":
+            cfg.model_name += f"_{args.arch}"
+        if args.loss != "jsd":
+            cfg.model_name += f"_{args.loss}"
         mesh = None
         pp_microbatches = None
         if args.pp:
@@ -667,7 +715,18 @@ def main(argv=None):
             base_lr=float(getattr(cfg_yaml, "base_lr", 1e-4)),
             out_root=args.out_root or cfg_yaml.out_root,
             base_channels=args.base_channels,
+            arch=args.arch,
+            swin_window=args.swin_window,
+            swin_embed=args.swin_embed,
+            convnext_embed=args.convnext_embed,
+            transunet_embed=args.transunet_embed,
+            transunet_depth=args.transunet_depth,
+            loss=args.loss,
         )
+        if args.arch != "vanilla":
+            cfg.model_name += f"_{args.arch}"
+        if args.loss != "jsd":
+            cfg.model_name += f"_{args.loss}"
         mesh = None
         if args.dp:
             from onet_tpu.core.mesh import make_mesh
@@ -698,10 +757,17 @@ def main(argv=None):
         excel_path = os.path.join(
             cfg.out_root,
             excel_name.replace(".xlsx", f"_{datehour_mark()}.xlsx"))
+        from onet_tpu.models.arch import get_arch
+        rep_arch = get_arch(args.arch, swin_window=args.swin_window,
+                            swin_embed=args.swin_embed,
+                            convnext_embed=args.convnext_embed,
+                            transunet_embed=args.transunet_embed,
+                            transunet_depth=args.transunet_depth)
         path, summary = save_zy3_test_results(
             excel_path, params, bn_state, test_ds, test_ids, groups,
             batch_sz=cfg.batch_sz, policy=policy, draw=True,
-            epoch=cfg.epoch_nums - 1, model_name=cfg.model_name)
+            epoch=cfg.epoch_nums - 1, model_name=cfg.model_name,
+            forward=None if rep_arch.vanilla else rep_arch.forward)
         print(f"[zy3] report: {path}")
         print(summary.to_string(index=False))
         return

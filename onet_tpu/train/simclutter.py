@@ -73,6 +73,19 @@ class SimclutterConfig:
     # None = exact, "fwd" = int8 forward convs, "fwd+dx" = also the
     # input-gradient convs. Gate on mask agreement (runs/qtrain_validate.py)
     quantized: str = None
+    # backbone family (models/arch.py): "vanilla" conv U-Net or the "swin"
+    # transformer ablation rebuilt from the published Swin-Unet
+    arch: str = "vanilla"
+    swin_window: int = 7
+    swin_embed: int = 96
+    convnext_embed: int = 96
+    transunet_embed: int = 768
+    transunet_depth: int = 12
+    # training objective (models/onet.py::LOSSES): "jsd" — the reference
+    # complement-negative objective — or "rsn", the random-sampling-negative
+    # ablation (the absent onet_ablation_RSN module,
+    # Train_Onet_on_simclutter_20250407.py:37,551-607)
+    loss: str = "jsd"
 
 
 def evaluate(eval_step, params, bn_state, test_ds: ArrayDataset, batch_sz: int):
@@ -109,9 +122,16 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
     else:
         train_ds, test_ds = datasets
 
-    params, bn_state = onet_init(k_model, config.in_channels,
+    from onet_tpu.models.arch import get_arch
+    arch = get_arch(config.arch, swin_window=config.swin_window,
+                    swin_embed=config.swin_embed,
+                    convnext_embed=config.convnext_embed,
+                    transunet_embed=config.transunet_embed,
+                    transunet_depth=config.transunet_depth)
+    params, bn_state = arch.init(k_model, config.in_channels,
                                  weight_share=config.weight_share,
                                  base=config.base_channels)
+    fwd = None if arch.vanilla else arch.forward
     opt_state = adam_init(params)
     if pipeline_microbatches:
         if mesh is None:
@@ -119,6 +139,12 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
                              "('data', 'stage') mesh")
         if config.quantized:
             raise ValueError("pipeline training is exact-arithmetic only")
+        if not arch.vanilla:
+            raise ValueError("pipeline stages are defined on the vanilla "
+                             "conv U-Net only")
+        if config.loss != "jsd":
+            raise ValueError("pipeline training uses the jsd objective "
+                             "(the per-microbatch schedule fixes the loss)")
         from onet_tpu.parallel.pipeline import make_pp_train_step
         train_step = make_pp_train_step(
             mesh, microbatches=pipeline_microbatches, policy=policy,
@@ -128,16 +154,19 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
     else:
         train_step = make_train_step(policy=policy, mesh=mesh,
                                      bias=config.bias,
-                                     quantized=config.quantized)
+                                     quantized=config.quantized,
+                                     forward=fwd, loss=config.loss)
         eval_step = make_eval_step(policy=policy, align="flip", mesh=mesh,
-                                   bias=config.bias)
+                                   bias=config.bias, forward=fwd,
+                                   loss=config.loss)
     if mesh is not None and not pipeline_microbatches:
         # remainder eval batches can't shard over the data axis; fall back
         # to a replicated single-compile eval for those
         ndev = int(mesh.devices.size)
         eval_mesh = eval_step
         eval_plain = make_eval_step(policy=policy, align="flip",
-                                    bias=config.bias)
+                                    bias=config.bias, forward=fwd,
+                                    loss=config.loss)
 
         def eval_step(p, b, x, labels):  # noqa: F811
             if x.shape[0] % ndev == 0:

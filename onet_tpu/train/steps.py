@@ -17,7 +17,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from onet_tpu.core.mesh import batch_sharding, replicated, DATA_AXIS, SPACE_AXIS
 from onet_tpu.core.policy import Policy, DEFAULT
-from onet_tpu.models.onet import onet_forward, compute_loss, predict_label
+from onet_tpu.models.onet import (onet_forward, compute_loss, LOSSES,
+                                  predict_label)
 from onet_tpu.train.optim import adam_update
 from onet_tpu.metrics.segmentation import (
     evaluate_binary_segmentation,
@@ -53,7 +54,7 @@ def _make_reshard(mesh, spatial: bool):
 
 def make_train_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
                     mesh=None, spatial: bool = False, microbatches: int = 1,
-                    quantized: str = None):
+                    quantized: str = None, forward=None, loss: str = "jsd"):
     """Build the jitted train step:
     (params, bn_state, opt_state, x, lr) -> (params, bn_state, opt_state, loss)
 
@@ -71,7 +72,18 @@ def make_train_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
     convs (models/qtrain.py) — the reduced-precision training mode SOL.md
     derives as required to beat the bf16 ceiling. Gate on mask agreement
     before production use (tests/test_qtrain.py, runs/qtrain_validate.py).
+
+    ``forward`` (models/arch.py): an alternate-backbone forward with the
+    onet_forward signature. The conv-specific machinery (spatial halos,
+    int8 ops) applies to the vanilla backbone only.
+
+    ``loss``: "jsd" (the reference objective) or "rsn" (the
+    random-sampling-negative ablation, models/onet.py::compute_loss_rsn).
     """
+    custom_fwd = forward is not None and forward is not onet_forward
+    if custom_fwd and (quantized or spatial):
+        raise ValueError("quantized / spatial training applies to the "
+                         "vanilla conv backbone only")
     reshard = _make_reshard(mesh, spatial)
     if quantized:
         from onet_tpu.models.qtrain import make_qtrain_ops
@@ -80,12 +92,18 @@ def make_train_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
         from onet_tpu.models.unet import DEFAULT_OPS
         ops = DEFAULT_OPS
 
+    loss_of = LOSSES[loss]
+
     def grads_of(params, bn_state, x):
         def loss_fn(p):
-            out, new_bn = onet_forward(p, bn_state, x, train=True,
-                                       bias=bias, policy=policy,
-                                       reshard=reshard, ops=ops)
-            return compute_loss(out), new_bn
+            if custom_fwd:
+                out, new_bn = forward(p, bn_state, x, train=True,
+                                      bias=bias, policy=policy)
+            else:
+                out, new_bn = onet_forward(p, bn_state, x, train=True,
+                                           bias=bias, policy=policy,
+                                           reshard=reshard, ops=ops)
+            return loss_of(out), new_bn
 
         return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
@@ -128,7 +146,8 @@ def make_train_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
 
 
 def make_eval_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
-                   align: str = "flip", mesh=None, spatial: bool = False):
+                   align: str = "flip", mesh=None, spatial: bool = False,
+                   forward=None, loss: str = "jsd"):
     """Build the jitted eval step returning per-batch metrics.
 
     align: 'flip'      — re_assign_label accuracy flip test (simclutter/nau
@@ -140,11 +159,16 @@ def make_eval_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
     """
 
     reshard = _make_reshard(mesh, spatial)
+    fwd = forward or onet_forward
+    fwd_kw = {} if forward not in (None, onet_forward) else {
+        "reshard": reshard}
+
+    loss_of = LOSSES[loss]
 
     def eval_step(params, bn_state, x, labels):
-        out, _ = onet_forward(params, bn_state, x, train=False,
-                              bias=bias, policy=policy, reshard=reshard)
-        loss = compute_loss(out)
+        out, _ = fwd(params, bn_state, x, train=False,
+                     bias=bias, policy=policy, **fwd_kw)
+        loss = loss_of(out)
         pred = predict_label(out.S)
         if align == "flip":
             pred = align_labels_by_accuracy(pred, labels)

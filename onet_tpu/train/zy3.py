@@ -54,15 +54,36 @@ class Zy3Config:
     base_channels: int = 64
     restart_from: Optional[str] = None
     save_epochs: tuple = (300,)
+    # backbone family (models/arch.py): "vanilla" conv U-Net, the "swin"
+    # transformer ablation (the reference's train_outc_model instantiates
+    # Onet_Swin_Unet on this same zy3 driver, Train_Onet_on_zy3_20240606.py
+    # :313-382), or the "convnext" ablation (:22-28)
+    arch: str = "vanilla"
+    swin_window: int = 7
+    swin_embed: int = 96
+    convnext_embed: int = 96
+    transunet_embed: int = 768
+    transunet_depth: int = 12
+    # training objective (models/onet.py::LOSSES): "jsd" or the "rsn"
+    # random-sampling-negative ablation (the absent onet_ablation_RSN
+    # module the reference's train_rsn_model consumes,
+    # Train_Onet_on_zy3_20240606.py:225-269)
+    loss: str = "jsd"
 
 
-def make_zy3_eval(*, policy: Policy = DEFAULT):
-    """Per-image Hungarian-aligned metric bundle + batch JSD loss."""
+def make_zy3_eval(*, policy: Policy = DEFAULT, forward=None,
+                  loss: str = "jsd"):
+    """Per-image Hungarian-aligned metric bundle + batch test loss (the
+    objective is getattr-swapped in the reference for ablations,
+    Onet_vanilla_20240606.py:253-256 — ``loss`` plays that role here)."""
+    fwd = forward or onet_forward
+    from onet_tpu.models.onet import LOSSES
+    loss_of = LOSSES[loss]
 
     @jax.jit
     def eval_batch(params, bn_state, x, labels):
-        out, _ = onet_forward(params, bn_state, x, train=False, policy=policy)
-        loss = compute_loss(out)
+        out, _ = fwd(params, bn_state, x, train=False, policy=policy)
+        loss = loss_of(out)
         pred = predict_label(out.S)
 
         def per_image(p, l):
@@ -101,7 +122,7 @@ def save_zy3_test_results(out_path: str, params, bn_state,
                           batch_sz: int = 5, policy: Policy = DEFAULT,
                           draw: bool = False, draw_all: bool = False,
                           epoch: Optional[int] = None,
-                          model_name: str = "onet_zy3"):
+                          model_name: str = "onet_zy3", forward=None):
     """Excel report with embedded thumbnails + per-group summary.
 
     Parity with save_zy3_test_results_to_excel / save_results_to_excel
@@ -118,7 +139,7 @@ def save_zy3_test_results(out_path: str, params, bn_state,
     from onet_tpu.ops.normalize import minmax_per_frame
     from onet_tpu.report.tables import save_zy3_excel_report
 
-    eval_batch = make_zy3_eval(policy=policy)
+    eval_batch = make_zy3_eval(policy=policy, forward=forward)
     group_of = {}
     for gi, gname in enumerate(GROUP_NAMES):
         for img_id in (groups or {}).get(gname, []):
@@ -202,10 +223,16 @@ def save_zy3_test_results(out_path: str, params, bn_state,
 
 def train(config: Zy3Config, train_ds: ArrayDataset, test_ds: ArrayDataset,
           *, policy: Policy = DEFAULT, mesh=None, log: bool = True):
+    from onet_tpu.models.arch import get_arch
+    arch = get_arch(config.arch, swin_window=config.swin_window,
+                    swin_embed=config.swin_embed,
+                    convnext_embed=config.convnext_embed,
+                    transunet_embed=config.transunet_embed,
+                    transunet_depth=config.transunet_depth)
     key = jax.random.key(config.seed)
     k_model, k_loop = jax.random.split(key)
 
-    params, bn_state = onet_init(k_model, config.in_channels,
+    params, bn_state = arch.init(k_model, config.in_channels,
                                  weight_share=config.weight_share,
                                  base=config.base_channels)
     opt_state = adam_init(params)
@@ -219,8 +246,10 @@ def train(config: Zy3Config, train_ds: ArrayDataset, test_ds: ArrayDataset,
         elif log:
             logging.warning("Checkpoint %s has no optimizer state; Adam "
                             "moments restart from zero", config.restart_from)
-    train_step = make_train_step(policy=policy, mesh=mesh)
-    eval_batch = make_zy3_eval(policy=policy)
+    fwd = None if arch.vanilla else arch.forward
+    train_step = make_train_step(policy=policy, mesh=mesh, forward=fwd,
+                                 loss=config.loss)
+    eval_batch = make_zy3_eval(policy=policy, forward=fwd, loss=config.loss)
 
     if log:
         setup_logging(config.out_root, config.model_name)
