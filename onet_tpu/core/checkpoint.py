@@ -32,12 +32,26 @@ def _flatten(tree, prefix: str) -> Dict[str, np.ndarray]:
 def _unflatten(template, flat: Dict[str, np.ndarray], prefix: str):
     paths, treedef = jax.tree_util.tree_flatten_with_path(template)
 
-    def lookup(path):
+    def lookup(path, want):
         key = prefix + "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
                                 for p in path)
-        return jnp.asarray(flat[key])
+        if key not in flat:
+            raise KeyError(
+                f"checkpoint has no '{key}' — its parameter tree does not "
+                "match the requested model (a checkpoint trained with a "
+                "different --arch, --base-channels or --in-channels? "
+                "Note serving/quantization support the vanilla conv U-Net "
+                "only.)")
+        got = flat[key]
+        want_shape = tuple(np.shape(want))
+        if tuple(got.shape) != want_shape:
+            raise ValueError(
+                f"checkpoint '{key}' has shape {tuple(got.shape)} but the "
+                f"requested model wants {want_shape} — trained with a "
+                "different --base-channels/--in-channels/arch geometry?")
+        return jnp.asarray(got)
 
-    leaves = [lookup(path) for path, _ in paths]
+    leaves = [lookup(path, leaf) for path, leaf in paths]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

@@ -106,3 +106,23 @@ def test_optimizer_state_round_trip(tmp_path):
     save_checkpoint(old, params, bn, 5)
     _, _, _, opt3 = load_checkpoint(old, params, bn, opt_template=opt)
     assert opt3 is None
+
+
+def test_mismatched_template_fails_with_clear_error(tmp_path):
+    """Loading a checkpoint into the wrong model geometry fails AT LOAD
+    TIME with an actionable message — not later with a cryptic XLA shape
+    error (wrong --base-channels) or a raw KeyError (wrong --arch)."""
+    import pytest
+
+    params, bn = onet_init(jax.random.key(0), 1, base=8)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, params, bn, 1)
+
+    wide, wide_bn = onet_init(jax.random.key(0), 1, base=16)
+    with pytest.raises(ValueError, match="base-channels"):
+        load_checkpoint(path, wide, wide_bn)
+
+    from onet_tpu.models.swin import swin_onet_init
+    sp, ss = swin_onet_init(jax.random.key(0), 1, window=2, embed_dim=12)
+    with pytest.raises(KeyError, match="parameter tree"):
+        load_checkpoint(path, sp, ss)
