@@ -60,7 +60,8 @@ def datehour_mark() -> str:
     return "%04d_%02d%02d_%02d" % (now.year, now.month, now.day, now.hour)
 
 
-def save_checkpoint(path: str, params, bn_state, epoch: int, opt_state=None):
+def save_checkpoint(path: str, params, bn_state, epoch: int, opt_state=None,
+                    meta: dict = None):
     """Crash-safe save: write to a temp file in the target directory, then
     atomically rename. A process killed mid-write (preemption is the normal
     failure mode on TPU pools) can never leave a truncated npz behind the
@@ -69,19 +70,39 @@ def save_checkpoint(path: str, params, bn_state, epoch: int, opt_state=None):
 
     ``opt_state`` (optional) additionally stores the optimizer state under
     an 'o:' prefix so a resumed run keeps its Adam moments and step count —
-    old checkpoints without it stay loadable."""
+    old checkpoints without it stay loadable.
+
+    ``meta`` (optional) stores a small JSON dict (e.g. the backbone family
+    and its geometry, models/arch.py) under '__meta__' so downstream
+    surfaces (serve, nau) can rebuild the right model without flag
+    bookkeeping; read it back with ``read_checkpoint_meta``."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = {"__epoch__": np.asarray(epoch)}
     flat.update(_flatten(params, "p:"))
     flat.update(_flatten(bn_state, "s:"))
     if opt_state is not None:
         flat.update(_flatten(opt_state, "o:"))
+    if meta:
+        import json
+        flat["__meta__"] = np.asarray(json.dumps(meta))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **flat)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+
+
+def read_checkpoint_meta(path: str) -> dict:
+    """The '__meta__' JSON dict stored by save_checkpoint, or {} for
+    checkpoints without one (pre-meta npz files, torch imports)."""
+    if not path.endswith(".npz"):
+        return {}
+    import json
+    with np.load(path) as z:
+        if "__meta__" not in z.files:
+            return {}
+        return json.loads(str(z["__meta__"]))
 
 
 def rotate_checkpoints(out_root: str, keep: int = 3,

@@ -23,6 +23,38 @@ import jax.numpy as jnp
 
 ARCH_NAMES = ("vanilla", "swin", "convnext", "transunet")
 
+GEOMETRY_KEYS = {
+    "vanilla": (),
+    "swin": ("swin_window", "swin_embed"),
+    "convnext": ("convnext_embed",),
+    "transunet": ("transunet_embed", "transunet_depth"),
+}
+
+
+def arch_meta(config) -> dict:
+    """Checkpoint metadata describing the model a driver config builds
+    (stored via core.checkpoint.save_checkpoint(meta=...)): the backbone
+    family plus exactly the geometry knobs that family consumes, so
+    downstream surfaces (serve/nau) rebuild the right model with no flag
+    bookkeeping. ``config`` is any object with the driver-config fields
+    (SimclutterConfig / Zy3Config)."""
+    name = getattr(config, "arch", "vanilla") or "vanilla"
+    meta = {"arch": name,
+            "in_channels": int(config.in_channels),
+            "weight_share": bool(config.weight_share)}
+    if name == "vanilla":
+        meta["base_channels"] = int(config.base_channels)
+    for k in GEOMETRY_KEYS[name]:
+        meta[k] = int(getattr(config, k))
+    return meta
+
+
+def arch_from_meta(meta: dict):
+    """get_arch from a read_checkpoint_meta dict ({} -> vanilla)."""
+    name = meta.get("arch", "vanilla")
+    kw = {k: meta[k] for k in GEOMETRY_KEYS.get(name, ()) if k in meta}
+    return get_arch(name, **kw)
+
 
 def get_arch(name: str = None, *, swin_window: int = 7,
              swin_embed: int = 96, convnext_embed: int = 96,

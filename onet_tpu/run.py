@@ -402,15 +402,36 @@ def main(argv=None):
     if args.cmd == "serve":
         import time
         import jax.numpy as jnp
-        from onet_tpu.core.checkpoint import load_checkpoint
+        from onet_tpu.core.checkpoint import (load_checkpoint,
+                                              read_checkpoint_meta)
+        from onet_tpu.models.arch import arch_from_meta
         from onet_tpu.models.infer import fold_onet, onet_infer
-        from onet_tpu.models.onet import onet_init
-        # --in-channels matches the checkpoint (1 = radar/simclutter,
-        # 3 = ZY-3 RGB; the npz schema implies it but templates need it)
-        params, bn = onet_init(jax.random.key(0), args.in_channels,
-                               base=args.base_channels)
-        params, bn, _ = load_checkpoint(args.model, params, bn)
-        folded = jax.jit(fold_onet)(params, bn)
+        from onet_tpu.models.onet import onet_init, predict_label
+        # the checkpoint's own metadata picks the backbone family
+        # (models/arch.py; npz files written by the train drivers carry it;
+        # meta-less / torch checkpoints are the vanilla conv U-Net)
+        meta = read_checkpoint_meta(args.model)
+        arch = arch_from_meta(meta)
+        if not arch.vanilla:
+            if args.int8:
+                raise SystemExit(
+                    f"--int8 serving quantizes the folded conv U-Net; the "
+                    f"checkpoint is --arch {arch.name} (bf16/fp32 serving, "
+                    "the detector, --tile and --http all work)")
+            in_ch = meta.get("in_channels", args.in_channels)
+            params, bn = arch.init(
+                jax.random.key(0), in_ch,
+                weight_share=meta.get("weight_share", True))
+            params, bn, _ = load_checkpoint(args.model, params, bn)
+            print(f"[serve] arch {arch.name} from checkpoint metadata")
+        else:
+            # --in-channels matches the checkpoint (1 = radar/simclutter,
+            # 3 = ZY-3 RGB; the npz schema implies it but templates need it)
+            params, bn = onet_init(
+                jax.random.key(0), meta.get("in_channels", args.in_channels),
+                base=meta.get("base_channels", args.base_channels))
+            params, bn, _ = load_checkpoint(args.model, params, bn)
+            folded = jax.jit(fold_onet)(params, bn)
         if args.input and os.path.exists(args.input):
             imgs = np.load(args.input)["imgs"].astype(np.float32)
         else:
@@ -427,6 +448,16 @@ def main(argv=None):
             q = quantize_folded(folded, scales)
             step = jax.jit(onet_infer_q)
             model_arg = q
+        elif not arch.vanilla:
+            # stateless backbones serve their plain forward (no BN to fold);
+            # step keeps the (S, labels) contract of onet_infer so the
+            # detector / dp / tiling / http pipeline below composes
+            def arch_step(m, xb, _fwd=arch.forward):
+                out, _ = _fwd(m[0], m[1], xb, train=False, policy=policy)
+                return out.S, predict_label(out.S)
+
+            step = jax.jit(arch_step)
+            model_arg = (params, bn)
         else:
             step = jax.jit(lambda f, xb: onet_infer(f, xb, policy=policy))
             model_arg = folded

@@ -245,8 +245,9 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
             path = os.path.join(
                 config.out_root,
                 f"{config.model_name}_{tag}_{epoch}_{mark}.npz")
+            from onet_tpu.models.arch import arch_meta
             save_checkpoint(path, params, bn_state, epoch,
-                            opt_state=opt_state)
+                            opt_state=opt_state, meta=arch_meta(config))
             if not milestone:
                 rotate_checkpoints(
                     config.out_root, keep=config.autosave_keep,

@@ -285,8 +285,9 @@ def train(config: Zy3Config, train_ds: ArrayDataset, test_ds: ArrayDataset,
         if epoch == config.epoch_nums - 1 or epoch in config.save_epochs:
             path = os.path.join(config.out_root,
                                 f"{config.model_name}_epoch{epoch}_{mark}.npz")
+            from onet_tpu.models.arch import arch_meta
             save_checkpoint(path, params, bn_state, epoch,
-                            opt_state=opt_state)
+                            opt_state=opt_state, meta=arch_meta(config))
             if log:
                 logging.info("Saved checkpoint: %s", path)
 
