@@ -181,6 +181,31 @@ def load_checkpoint(path: str, params_template, state_template,
     return params, bn_state, epoch, opt_state
 
 
+def load_arch_auto(path: str):
+    """Load a checkpoint of ANY backbone family by its own metadata.
+
+    Returns (arch, params, bn_state, epoch) where ``arch`` is the
+    models/arch.py registry entry recorded in the checkpoint's
+    '__meta__' (stamped by the train drivers). Meta-less npz files and
+    reference torch imports resolve to the vanilla conv U-Net via
+    ``load_onet_auto``'s shape inference, so every existing checkpoint
+    keeps loading. This is the one-call model loader behind the eval
+    surfaces (serve/nau/sweep) — no --arch/--base-channels bookkeeping.
+    """
+    from onet_tpu.models.arch import arch_from_meta
+
+    meta = read_checkpoint_meta(path)
+    arch = arch_from_meta(meta)
+    if arch.vanilla:
+        params, bn_state, epoch = load_onet_auto(path)
+        return arch, params, bn_state, epoch
+    params, bn_state = arch.init(
+        jax.random.key(0), meta.get("in_channels", 1),
+        weight_share=meta.get("weight_share", True))
+    params, bn_state, epoch = load_checkpoint(path, params, bn_state)
+    return arch, params, bn_state, epoch
+
+
 def load_onet_auto(path: str):
     """Load an Onet checkpoint inferring its own architecture.
 

@@ -368,15 +368,20 @@ def main(argv=None):
         # per-PSNR verification (verify_onet_simclutter equivalent)
         from onet_tpu.train.sweeps import per_snr_datasets, test_by_snr
         from onet_tpu.models.onet import onet_init
-        from onet_tpu.core.checkpoint import load_checkpoint
-        params, bn = onet_init(jax.random.key(1981), 1,
-                               base=args.base_channels)
+        from onet_tpu.core.checkpoint import load_arch_auto
+        fwd = None
         if args.model and os.path.exists(args.model):
-            params, bn, _ = load_checkpoint(args.model, params, bn)
-            print(f"[sweep] loaded {args.model}")
+            # the checkpoint rebuilds its own model: arch metadata for the
+            # ablation families, shape inference for vanilla/torch files
+            arch, params, bn, _ = load_arch_auto(args.model)
+            fwd = None if arch.vanilla else arch.forward
+            print(f"[sweep] loaded {args.model} (arch {arch.name})")
+        else:
+            params, bn = onet_init(jax.random.key(1981), 1,
+                                   base=args.base_channels)
         data = per_snr_datasets(jax.random.key(7),
                                 frames_per_level=args.frames_per_level)
-        report = test_by_snr(params, bn, data, policy=policy)
+        report = test_by_snr(params, bn, data, policy=policy, forward=fwd)
         for psnr in sorted(k for k in report if k != "ave"):
             m = report[psnr]
             print("psnr:%02d, acc:%.4f, miou:%.4f, tiou:%.4f, dr:%.4f, far:%.4f"
@@ -389,7 +394,8 @@ def main(argv=None):
             from onet_tpu.train.sweeps import threshold_sweep_by_snr
             budgets = tuple(float(b) for b in args.far_budgets.split(","))
             trep = threshold_sweep_by_snr(params, bn, data,
-                                          far_budgets=budgets, policy=policy)
+                                          far_budgets=budgets, policy=policy,
+                                          forward=fwd)
             for psnr in sorted(trep):
                 parts = " ".join(
                     f"far<={b:g}: dr {v['dr']:.3f}"
@@ -808,7 +814,7 @@ def main(argv=None):
         from onet_tpu.train.nau import test_naurain
         from onet_tpu.data.nau import load_nau_dict_pt, synthesize_nau_rain
         from onet_tpu.models.onet import onet_init
-        from onet_tpu.core.checkpoint import load_checkpoint
+        from onet_tpu.core.checkpoint import load_arch_auto
         test_file = args.test_file or os.path.join(
             cfg_yaml.dataset_root, cfg_yaml.load_test_file)
         if os.path.exists(test_file):
@@ -816,18 +822,22 @@ def main(argv=None):
         else:
             print("[nau] radar .pt not found - using synthetic rain frames")
             ds, ids = synthesize_nau_rain(jax.random.key(0), n=10)
-        params, bn = onet_init(jax.random.key(1981), 1,
-                               base=args.base_channels)
         model = args.model or cfg_yaml.model_file
+        fwd = None
         if model and os.path.exists(model):
-            params, bn, _ = load_checkpoint(model, params, bn)
-            print(f"[nau] loaded {model}")
+            # checkpoint metadata picks the backbone family (arch record
+            # for the ablation families; vanilla/torch by shape inference)
+            arch, params, bn, _ = load_arch_auto(model)
+            fwd = None if arch.vanilla else arch.forward
+            print(f"[nau] loaded {model} (arch {arch.name})")
         else:
+            params, bn = onet_init(jax.random.key(1981), 1,
+                                   base=args.base_channels)
             print("[nau] no checkpoint - evaluating a fresh model")
         fig = os.path.join(args.out_root or cfg_yaml.out_root,
                            "nau_rain_transfer.png")
         out = test_naurain(params, bn, ds, batch_sz=cfg_yaml.batch_sz,
-                           policy=policy, ids=ids, fig_path=fig)
+                           policy=policy, ids=ids, fig_path=fig, forward=fwd)
         print({k: round(float(v), 4) for k, v in out.items()})
 
         # Baseline comparisons (the reference's revision figures pit Onet

@@ -25,10 +25,15 @@ from onet_tpu.models.onet import onet_forward, predict_label
 from onet_tpu.ops.normalize import minmax_per_frame
 
 
-def make_transfer_eval(*, policy: Policy = DEFAULT):
+def make_transfer_eval(*, policy: Policy = DEFAULT, forward=None):
+    """``forward`` swaps the backbone (models/arch.py registry — every
+    family keeps the OnetOutput contract); default is the vanilla conv
+    U-Net."""
+    fwd = forward or onet_forward
+
     @jax.jit
     def eval_batch(params, bn_state, x, labels):
-        out, _ = onet_forward(params, bn_state, x, train=False, policy=policy)
+        out, _ = fwd(params, bn_state, x, train=False, policy=policy)
         raw = predict_label(out.S)
         pred = align_labels_by_accuracy(raw, labels)
         metrics = evaluate_binary_segmentation(pred, labels)
@@ -48,11 +53,11 @@ def make_transfer_eval(*, policy: Policy = DEFAULT):
 
 def test_naurain(params, bn_state, test_ds: ArrayDataset, *,
                  batch_sz: int = 5, policy: Policy = DEFAULT,
-                 ids=None, fig_path: str = None) -> Dict:
+                 ids=None, fig_path: str = None, forward=None) -> Dict:
     """Transfer eval; with ``fig_path`` also dumps the show_nau_rain grid
     (echo/gt/pred/Vt/Vd columns titled by frame name,
     utils_20231218.py:595-620) for the first batch."""
-    eval_batch = make_transfer_eval(policy=policy)
+    eval_batch = make_transfer_eval(policy=policy, forward=forward)
     sums, snrs, n = None, np.zeros(4), 0
     first = None
     for batch in batch_iterator(test_ds, batch_sz):

@@ -17,10 +17,8 @@ from typing import Dict
 
 import jax
 
-from onet_tpu.core.checkpoint import load_checkpoint
 from onet_tpu.core.policy import Policy, DEFAULT
 from onet_tpu.data.simclutter import simclutter_datasets
-from onet_tpu.models.onet import onet_init
 from onet_tpu.train.simclutter import SimclutterConfig, train
 from onet_tpu.train.steps import make_eval_step
 from onet_tpu.train.two_stage import verify_single_stage
@@ -41,15 +39,17 @@ def per_snr_datasets(key, levels=range(0, 11), frames_per_level: int = 150,
 
 
 def test_by_snr(params, bn_state, datasets_by_psnr, *, batch_sz: int = 10,
-                policy: Policy = DEFAULT) -> Dict:
-    eval_step = make_eval_step(policy=policy, align="flip")
+                policy: Policy = DEFAULT, forward=None) -> Dict:
+    """``forward`` swaps the backbone (models/arch.py — every family keeps
+    the OnetOutput contract); default is the vanilla conv U-Net."""
+    eval_step = make_eval_step(policy=policy, align="flip", forward=forward)
     return verify_single_stage(eval_step, params, bn_state,
                                datasets_by_psnr, batch_sz)
 
 
 def threshold_sweep_by_snr(params, bn_state, datasets_by_psnr, *,
                            far_budgets=(1e-3, 1e-2, 5e-2, 1e-1),
-                           policy: Policy = DEFAULT) -> Dict:
+                           policy: Policy = DEFAULT, forward=None) -> Dict:
     """Per-PSNR detection rates at explicit FAR budgets via the
     projection-threshold detector (metrics/roc.py — additive; the
     reference's argmax is the threshold-0 point). Returns
@@ -61,10 +61,12 @@ def threshold_sweep_by_snr(params, bn_state, datasets_by_psnr, *,
     from onet_tpu.metrics.segmentation import align_labels_by_accuracy
     from onet_tpu.models.onet import onet_forward, predict_label
 
+    model_fwd = forward or onet_forward
+
     @_jax.jit
     def fwd(x):
-        out, _ = onet_forward(params, bn_state, x, train=False,
-                              policy=policy)
+        out, _ = model_fwd(params, bn_state, x, train=False,
+                           policy=policy)
         return out.Vt, out.Vd, predict_label(out.S)
 
     report = {}
@@ -103,21 +105,28 @@ def train_by_snr(base_config: SimclutterConfig, *, levels=range(0, 11),
     return results
 
 
-def verify_checkpoint_dir(model_root: str, *, in_channels: int = 1,
-                          base_channels: int = 64, datasets_by_psnr=None,
+def verify_checkpoint_dir(model_root: str, *, datasets_by_psnr=None,
                           batch_sz: int = 10, policy: Policy = DEFAULT) -> Dict:
-    """Evaluate every .npz checkpoint in a directory across all PSNR levels."""
+    """Evaluate every .npz checkpoint in a directory across all PSNR
+    levels. Each file rebuilds its OWN model via load_arch_auto (arch
+    metadata for the ablation families, shape inference for vanilla), so
+    mixed-family directories verify in one pass — the generalization of
+    the reference's test_model_performance glob
+    (Train_Onet_on_simclutter_20250407.py:512-524)."""
+    from onet_tpu.core.checkpoint import load_arch_auto
+
     files = sorted(glob.glob(os.path.join(model_root, "*.npz")))
-    template_p, template_s = onet_init(jax.random.key(0), in_channels,
-                                       base=base_channels)
     if datasets_by_psnr is None:
         datasets_by_psnr = per_snr_datasets(jax.random.key(7))
     report = {}
     for f in files:
-        params, bn_state, epoch = load_checkpoint(f, template_p, template_s)
+        arch, params, bn_state, epoch = load_arch_auto(f)
         report[os.path.basename(f)] = {
             "epoch": epoch,
-            "per_snr": test_by_snr(params, bn_state, datasets_by_psnr,
-                                   batch_sz=batch_sz, policy=policy),
+            "arch": arch.name,
+            "per_snr": test_by_snr(
+                params, bn_state, datasets_by_psnr, batch_sz=batch_sz,
+                policy=policy,
+                forward=None if arch.vanilla else arch.forward),
         }
     return report

@@ -74,6 +74,46 @@ def test_cli_serve_swin_rejects_int8(tmp_path):
                   "--out", str(tmp_path / "m.npz")])
 
 
+def test_load_arch_auto(tmp_path):
+    """One-call loader: swin via metadata, vanilla via shape inference."""
+    from onet_tpu.core.checkpoint import load_arch_auto
+    from onet_tpu.models.onet import onet_init
+
+    arch, p, s, e = load_arch_auto(str(_swin_ck(tmp_path)))
+    assert arch.name == "swin" and e == 1
+
+    vp, vs = onet_init(jax.random.key(1), 3, base=8)
+    vk = tmp_path / "v_epoch_2.npz"
+    save_checkpoint(str(vk), vp, vs, 2)
+    arch, p, s, e = load_arch_auto(str(vk))
+    assert arch.vanilla and e == 2
+    assert p["top"]["inc"]["conv1"]["w"].shape == (3, 3, 3, 8)
+
+
+def test_cli_nau_swin_checkpoint(tmp_path, capsys):
+    """`run nau --model <swin ckpt>` rebuilds the backbone from metadata
+    and runs the transfer eval end to end (64^2 radar fixture — swin
+    needs sides divisible by 32)."""
+    import torch
+
+    from onet_tpu import run as cli
+
+    ck = _swin_ck(tmp_path)
+    rng = np.random.default_rng(1)
+    d = {}
+    for i in range(4):
+        img = rng.rayleigh(1.0, (64, 64)).astype(np.float32)
+        lab = (rng.uniform(size=(64, 64)) > 0.8).astype(np.float32)
+        d[f"nau_{i}"] = {"img": torch.from_numpy(img),
+                         "label": torch.from_numpy(lab)}
+    pt = tmp_path / "naurain_fixture.pt"
+    torch.save(d, pt)
+    cli.main(["nau", "--model", str(ck), "--test-file", str(pt),
+              "--out-root", str(tmp_path), "--fp32"])
+    out = capsys.readouterr().out
+    assert "arch swin" in out and "'acc':" in out
+
+
 def test_driver_checkpoints_carry_meta(tmp_path):
     """The simclutter driver stamps its checkpoints with the arch record."""
     from onet_tpu.data.arrays import ArrayDataset

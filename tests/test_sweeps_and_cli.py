@@ -27,14 +27,25 @@ def test_snr_sweep_eval(tiny_sweep_data):
 
 
 def test_verify_checkpoint_dir(tiny_sweep_data, tmp_path):
+    """Mixed-family directory: each file rebuilds its own model (vanilla
+    by shape inference, swin by arch metadata)."""
+    from onet_tpu.models.swin import swin_onet_init
+
     params, bn = onet_init(jax.random.key(2), 1, base=8)
     save_checkpoint(str(tmp_path / "m_epoch_5.npz"), params, bn, 5)
-    report = verify_checkpoint_dir(str(tmp_path), base_channels=8,
+    sp, ss = swin_onet_init(jax.random.key(3), 1, window=2, embed_dim=12)
+    save_checkpoint(str(tmp_path / "sw_epoch_7.npz"), sp, ss, 7,
+                    meta={"arch": "swin", "swin_window": 2,
+                          "swin_embed": 12, "in_channels": 1,
+                          "weight_share": True})
+    report = verify_checkpoint_dir(str(tmp_path),
                                    datasets_by_psnr=tiny_sweep_data,
                                    batch_sz=2)
-    assert "m_epoch_5.npz" in report
     assert report["m_epoch_5.npz"]["epoch"] == 5
+    assert report["m_epoch_5.npz"]["arch"] == "vanilla"
     assert "ave" in report["m_epoch_5.npz"]["per_snr"]
+    assert report["sw_epoch_7.npz"]["arch"] == "swin"
+    assert 0 <= report["sw_epoch_7.npz"]["per_snr"]["ave"]["acc"] <= 1
 
 
 def test_cli_gen_data(tmp_path, monkeypatch):
