@@ -76,7 +76,14 @@ def save_checkpoint(path: str, params, bn_state, epoch: int, opt_state=None,
     and its geometry, models/arch.py) under '__meta__' so downstream
     surfaces (serve, nau) can rebuild the right model without flag
     bookkeeping; read it back with ``read_checkpoint_meta``."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = _flat_record(params, bn_state, epoch, opt_state, meta)
+    _write_npz_atomic(path, flat)
+
+
+def _flat_record(params, bn_state, epoch, opt_state=None, meta=None):
+    """Host-side flat dict for one checkpoint — materializes every leaf
+    with np.asarray (the device->host fetch happens HERE, so callers with
+    donated buffers are safe to run the next step once this returns)."""
     flat = {"__epoch__": np.asarray(epoch)}
     flat.update(_flatten(params, "p:"))
     flat.update(_flatten(bn_state, "s:"))
@@ -85,12 +92,68 @@ def save_checkpoint(path: str, params, bn_state, epoch: int, opt_state=None,
     if meta:
         import json
         flat["__meta__"] = np.asarray(json.dumps(meta))
+    return flat
+
+
+def _write_npz_atomic(path: str, flat):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **flat)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+
+
+class AsyncCheckpointWriter:
+    """Overlap checkpoint file IO with training.
+
+    ``save()`` fetches the arrays to host synchronously (the train steps
+    donate their params/opt buffers, core/checkpoint.py callers run the
+    next step immediately — the snapshot must happen first) and then
+    serializes + atomically renames on a background thread, optionally
+    running autosave rotation there too so the train loop pays only the
+    transfer, never the file IO. At most one write is in flight: a second
+    ``save()`` first joins the previous one (bounded memory, ordered
+    files). ``wait()`` joins and re-raises any writer-thread error —
+    drivers call it before reading back / finishing so a failed save
+    cannot pass silently.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._err = None
+
+    def save(self, path: str, params, bn_state, epoch: int, opt_state=None,
+             meta: dict = None, rotate: tuple = None):
+        """``rotate=(out_root, keep, pattern)`` runs rotate_checkpoints
+        after the write completes (in the writer thread), so rotation
+        always sees the finished file."""
+        import threading
+
+        self.wait()
+        flat = _flat_record(params, bn_state, epoch, opt_state, meta)
+
+        def write():
+            try:
+                _write_npz_atomic(path, flat)
+                if rotate is not None:
+                    out_root, keep, pattern = rotate
+                    rotate_checkpoints(out_root, keep=keep, pattern=pattern)
+            except BaseException as e:  # noqa: BLE001 — re-raised in wait()
+                self._err = e
+
+        self._thread = threading.Thread(target=write, daemon=True,
+                                        name="ckpt-writer")
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
 
 
 def read_checkpoint_meta(path: str) -> dict:

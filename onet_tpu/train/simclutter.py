@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from onet_tpu.core.checkpoint import (
-    save_checkpoint, datehour_mark, latest_checkpoint, load_checkpoint,
-    rotate_checkpoints)
+    AsyncCheckpointWriter, datehour_mark, latest_checkpoint,
+    load_checkpoint)
 from onet_tpu.core.policy import Policy, DEFAULT
 from onet_tpu.data.arrays import ArrayDataset, batch_iterator
 from onet_tpu.data.simclutter import simclutter_datasets
@@ -180,6 +180,7 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
 
     history = {"loss": [], "eval": {}}
     mark = datehour_mark()
+    writer = AsyncCheckpointWriter()
     start_epoch = 0
     if config.resume:
         ck = latest_checkpoint(config.out_root)
@@ -246,15 +247,18 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
                 config.out_root,
                 f"{config.model_name}_{tag}_{epoch}_{mark}.npz")
             from onet_tpu.models.arch import arch_meta
-            save_checkpoint(path, params, bn_state, epoch,
-                            opt_state=opt_state, meta=arch_meta(config))
-            if not milestone:
-                rotate_checkpoints(
-                    config.out_root, keep=config.autosave_keep,
-                    pattern=f"{config.model_name}_autosave_*.npz")
+            # async: the host snapshot is synchronous (donated buffers),
+            # the npz write + autosave rotation overlap the next epochs;
+            # writer.wait() below surfaces any IO error before return
+            writer.save(path, params, bn_state, epoch,
+                        opt_state=opt_state, meta=arch_meta(config),
+                        rotate=None if milestone else (
+                            config.out_root, config.autosave_keep,
+                            f"{config.model_name}_autosave_*.npz"))
             if log:
                 logging.info("Saved checkpoint at epoch %d: %s", epoch, path)
 
+    writer.wait()
     if log:
         from onet_tpu.report.curves import save_training_curves
 

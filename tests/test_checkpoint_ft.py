@@ -88,6 +88,52 @@ def test_rotation_never_deletes_milestones(tmp_path):
     assert all("autosave" in d for d in deleted)
 
 
+def test_async_writer_roundtrip_and_rotation(tmp_path):
+    """AsyncCheckpointWriter: file lands complete after wait(); rotation
+    runs in the writer thread and still spares milestones."""
+    from onet_tpu.core.checkpoint import (AsyncCheckpointWriter,
+                                          read_checkpoint_meta)
+
+    params, bn = onet_init(jax.random.key(0), 1, base=8)
+    w = AsyncCheckpointWriter()
+    mile = str(tmp_path / "m_epoch_300_x.npz")
+    save_checkpoint(mile, params, bn, 300)
+    for i in range(4):
+        p = str(tmp_path / f"m_autosave_{i}_x.npz")
+        w.save(p, params, bn, i, meta={"arch": "vanilla"},
+               rotate=(str(tmp_path), 2, "m_autosave_*.npz"))
+        w.wait()
+        os.utime(p, (2000 + i, 2000 + i))
+    kept = sorted(os.path.basename(f) for f in os.listdir(tmp_path))
+    assert "m_epoch_300_x.npz" in kept
+    assert sum("autosave" in k for k in kept) == 2
+    last = str(tmp_path / "m_autosave_3_x.npz")
+    assert read_checkpoint_meta(last) == {"arch": "vanilla"}
+    p2, b2, ep = load_checkpoint(last, params, bn)
+    assert ep == 3
+
+
+def test_async_writer_surfaces_io_errors(tmp_path):
+    """A failed background write raises from wait(), not silently."""
+    import pytest
+
+    from onet_tpu.core.checkpoint import AsyncCheckpointWriter
+
+    params, bn = onet_init(jax.random.key(0), 1, base=8)
+    w = AsyncCheckpointWriter()
+    # target path is a DIRECTORY -> os.replace fails in the writer thread
+    bad = tmp_path / "taken.npz"
+    bad.mkdir()
+    w.save(str(bad), params, bn, 1)
+    with pytest.raises(OSError):
+        w.wait()
+    # writer is reusable after the error
+    good = str(tmp_path / "ok.npz")
+    w.save(good, params, bn, 2)
+    w.wait()
+    assert load_checkpoint(good, params, bn)[2] == 2
+
+
 def test_optimizer_state_round_trip(tmp_path):
     from onet_tpu.train.optim import adam_init, adam_update
 
