@@ -170,6 +170,13 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "sweep":
             p.add_argument("--model", default=None,
                            help=".npz checkpoint (fresh init if absent)")
+            p.add_argument("--model-dir", default=None,
+                           help="verify EVERY .npz checkpoint in a "
+                                "directory across the PSNR levels (the "
+                                "reference's test_model_performance glob, "
+                                "Train_Onet_on_simclutter_20250407.py:512-"
+                                "524); mixed backbone families supported "
+                                "via checkpoint arch metadata")
             p.add_argument("--frames-per-level", type=int, default=150)
             p.add_argument("--far-budgets", default=None,
                            help="comma list (e.g. 0.01,0.05): ALSO report "
@@ -369,6 +376,19 @@ def main(argv=None):
         from onet_tpu.train.sweeps import per_snr_datasets, test_by_snr
         from onet_tpu.models.onet import onet_init
         from onet_tpu.core.checkpoint import load_arch_auto
+        if args.model_dir:
+            from onet_tpu.train.sweeps import verify_checkpoint_dir
+            data = per_snr_datasets(
+                jax.random.key(7), frames_per_level=args.frames_per_level)
+            report = verify_checkpoint_dir(args.model_dir,
+                                           datasets_by_psnr=data,
+                                           policy=policy)
+            for fname, rec in report.items():
+                a = rec["per_snr"]["ave"]
+                print(f"{fname} (epoch {rec['epoch']}, arch {rec['arch']}): "
+                      f"ave_acc:{a['acc']:.4f}, ave_miou:{a['miou']:.4f}, "
+                      f"ave_dr:{a['dr']:.4f}, ave_far:{a['far']:.4f}")
+            return
         fwd = None
         if args.model and os.path.exists(args.model):
             # the checkpoint rebuilds its own model: arch metadata for the

@@ -48,6 +48,27 @@ def test_verify_checkpoint_dir(tiny_sweep_data, tmp_path):
     assert 0 <= report["sw_epoch_7.npz"]["per_snr"]["ave"]["acc"] <= 1
 
 
+def test_cli_sweep_model_dir(tiny_sweep_data, tmp_path, capsys, monkeypatch):
+    """`run sweep --model-dir` = the reference's test_model_performance
+    glob as a CLI; each checkpoint rebuilds its own model."""
+    from onet_tpu import run as cli
+    from onet_tpu.models.swin import swin_onet_init
+
+    params, bn = onet_init(jax.random.key(2), 1, base=8)
+    save_checkpoint(str(tmp_path / "van_epoch_5.npz"), params, bn, 5)
+    sp, ss = swin_onet_init(jax.random.key(3), 1, window=2, embed_dim=12)
+    save_checkpoint(str(tmp_path / "sw_epoch_7.npz"), sp, ss, 7,
+                    meta={"arch": "swin", "swin_window": 2,
+                          "swin_embed": 12, "in_channels": 1,
+                          "weight_share": True})
+    monkeypatch.setattr("onet_tpu.train.sweeps.per_snr_datasets",
+                        lambda key, frames_per_level=150: tiny_sweep_data)
+    cli.main(["sweep", "--model-dir", str(tmp_path), "--fp32"])
+    out = capsys.readouterr().out
+    assert "van_epoch_5.npz (epoch 5, arch vanilla): ave_acc:" in out
+    assert "sw_epoch_7.npz (epoch 7, arch swin): ave_acc:" in out
+
+
 def test_cli_gen_data(tmp_path, monkeypatch):
     from onet_tpu import run as cli
     out = tmp_path / "tiny.npz"
