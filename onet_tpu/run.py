@@ -171,9 +171,10 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--model", default=None,
                            help=".npz checkpoint (fresh init if absent)")
             p.add_argument("--model-dir", default=None,
-                           help="verify EVERY .npz checkpoint in a "
-                                "directory across the PSNR levels (the "
-                                "reference's test_model_performance glob, "
+                           help="verify EVERY checkpoint (.npz and "
+                                "reference .pt/.pytorch) in a directory "
+                                "across the PSNR levels (the reference's "
+                                "test_model_performance glob, "
                                 "Train_Onet_on_simclutter_20250407.py:512-"
                                 "524); mixed backbone families supported "
                                 "via checkpoint arch metadata")
@@ -378,6 +379,9 @@ def main(argv=None):
         from onet_tpu.core.checkpoint import load_arch_auto
         if args.model_dir:
             from onet_tpu.train.sweeps import verify_checkpoint_dir
+            if args.far_budgets:
+                print("[sweep] note: --far-budgets applies to single "
+                      "--model sweeps, ignored with --model-dir")
             data = per_snr_datasets(
                 jax.random.key(7), frames_per_level=args.frames_per_level)
             report = verify_checkpoint_dir(args.model_dir,

@@ -107,15 +107,19 @@ def train_by_snr(base_config: SimclutterConfig, *, levels=range(0, 11),
 
 def verify_checkpoint_dir(model_root: str, *, datasets_by_psnr=None,
                           batch_sz: int = 10, policy: Policy = DEFAULT) -> Dict:
-    """Evaluate every .npz checkpoint in a directory across all PSNR
-    levels. Each file rebuilds its OWN model via load_arch_auto (arch
-    metadata for the ablation families, shape inference for vanilla), so
-    mixed-family directories verify in one pass — the generalization of
-    the reference's test_model_performance glob
+    """Evaluate every checkpoint (.npz and reference .pt/.pytorch) in a
+    directory across all PSNR levels. Each file rebuilds its OWN model
+    via load_arch_auto (arch metadata for the ablation families, shape
+    inference for vanilla/torch), so mixed-family directories verify in
+    one pass — the generalization of the reference's
+    test_model_performance glob
     (Train_Onet_on_simclutter_20250407.py:512-524)."""
     from onet_tpu.core.checkpoint import load_arch_auto
+    from onet_tpu.core.torch_import import TORCH_EXTS
 
-    files = sorted(glob.glob(os.path.join(model_root, "*.npz")))
+    # the reference globs *.pytorch; accept its files alongside ours
+    files = sorted(p for ext in (".npz",) + tuple(TORCH_EXTS)
+                   for p in glob.glob(os.path.join(model_root, "*" + ext)))
     if datasets_by_psnr is None:
         datasets_by_psnr = per_snr_datasets(jax.random.key(7))
     report = {}

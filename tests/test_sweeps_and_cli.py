@@ -38,6 +38,11 @@ def test_verify_checkpoint_dir(tiny_sweep_data, tmp_path):
                     meta={"arch": "swin", "swin_window": 2,
                           "swin_embed": 12, "in_channels": 1,
                           "weight_share": True})
+    # a reference-schema torch file verifies alongside (the reference's
+    # glob was *.pytorch)
+    from onet_tpu.core.torch_import import export_torch_checkpoint
+    export_torch_checkpoint(str(tmp_path / "ref_epoch300.pytorch"),
+                            params, bn, epoch=300)
     report = verify_checkpoint_dir(str(tmp_path),
                                    datasets_by_psnr=tiny_sweep_data,
                                    batch_sz=2)
@@ -46,6 +51,8 @@ def test_verify_checkpoint_dir(tiny_sweep_data, tmp_path):
     assert "ave" in report["m_epoch_5.npz"]["per_snr"]
     assert report["sw_epoch_7.npz"]["arch"] == "swin"
     assert 0 <= report["sw_epoch_7.npz"]["per_snr"]["ave"]["acc"] <= 1
+    assert report["ref_epoch300.pytorch"]["arch"] == "vanilla"
+    assert report["ref_epoch300.pytorch"]["epoch"] == 300
 
 
 def test_cli_sweep_model_dir(tiny_sweep_data, tmp_path, capsys, monkeypatch):
