@@ -436,7 +436,7 @@ def main(argv=None):
                                               read_checkpoint_meta)
         from onet_tpu.models.arch import arch_from_meta
         from onet_tpu.models.infer import fold_onet, onet_infer
-        from onet_tpu.models.onet import onet_init, predict_label
+        from onet_tpu.models.onet import predict_label
         # the checkpoint's own metadata picks the backbone family
         # (models/arch.py; npz files written by the train drivers carry it;
         # meta-less / torch checkpoints are the vanilla conv U-Net)
@@ -455,12 +455,12 @@ def main(argv=None):
             params, bn, _ = load_checkpoint(args.model, params, bn)
             print(f"[serve] arch {arch.name} from checkpoint metadata")
         else:
-            # --in-channels matches the checkpoint (1 = radar/simclutter,
-            # 3 = ZY-3 RGB; the npz schema implies it but templates need it)
-            params, bn = onet_init(
-                jax.random.key(0), meta.get("in_channels", args.in_channels),
-                base=meta.get("base_channels", args.base_channels))
-            params, bn, _ = load_checkpoint(args.model, params, bn)
+            # vanilla checkpoints self-describe: width/channels/twin-ness
+            # come from the file's own shapes (npz keys or the torch
+            # bridge auto-detect) — --in-channels/--base-channels are
+            # kept for compatibility but no longer required to match
+            from onet_tpu.core.checkpoint import load_onet_auto
+            params, bn, _ = load_onet_auto(args.model)
             folded = jax.jit(fold_onet)(params, bn)
         if args.input and os.path.exists(args.input):
             imgs = np.load(args.input)["imgs"].astype(np.float32)
