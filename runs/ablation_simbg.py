@@ -10,9 +10,14 @@ InfoSeg comparison rows (runs/{iic,infoseg}_simbg_high) — and reports:
 
 * per-PSNR(0-10) averaged (acc, miou, dr, far, tiou) via the sweep
   harness (train.sweeps.test_by_snr with the family's forward), and
-* the zero-shot NAU rain transfer row on 192^2 synthetic frames (192 is
-  divisible by 32, the transformer families' shape constraint; the real
-  NAU frames are 200^2 and only the conv families accept those).
+* the zero-shot NAU rain transfer row on 224^2 synthetic frames (the
+  transformer families' geometry: swin window 7 needs stage sides
+  divisible by 7 — 224 gives 56/28/14/7; the real NAU frames are 200^2
+  and only the conv families accept those).
+
+Families whose final checkpoint already exists under their out_root are
+NOT retrained — the study resumes into the eval phase (wall_s is then
+re-read from the driver log's first/last epoch timestamps).
 
 Checkpoints carry arch metadata, so `run serve/nau/sweep --model(-dir)`
 rebuild each family automatically afterwards.
@@ -25,8 +30,10 @@ Run: PYTHONPATH=.:$PYTHONPATH python runs/ablation_simbg.py
 sitecustomize)
 """
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -59,23 +66,50 @@ EPOCHS = 60          # the comparison-row budget (IIC/InfoSeg rows)
 SWEEP_FRAMES = 50    # frames per PSNR level for the eval sweep
 
 
+def _log_wall_s(out_root):
+    """Train-loop wall time from the driver log's epoch timestamps."""
+    logs = sorted(glob.glob(os.path.join(out_root, "*.log")))
+    if not logs:
+        return None
+    stamps = re.findall(r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d+)\s*$",
+                        open(logs[-1]).read(), re.M)
+    if len(stamps) < 2:
+        return None
+    from datetime import datetime
+    f = "%Y-%m-%d %H:%M:%S.%f"
+    return (datetime.strptime(stamps[-1], f)
+            - datetime.strptime(stamps[0], f)).total_seconds()
+
+
 def main():
     sweep_data = per_snr_datasets(jax.random.key(7),
                                   frames_per_level=SWEEP_FRAMES)
-    nau_ds, nau_ids = synthesize_nau_rain(jax.random.key(0), n=10, size=192)
+    nau_ds, nau_ids = synthesize_nau_rain(jax.random.key(0), n=10, size=224)
     results = {}
     for name, kw in FAMILIES.items():
-        cfg = SimclutterConfig(model_name=name,
-                               out_root=f"runs/ablation_simbg/{name}",
+        out_root = f"runs/ablation_simbg/{name}"
+        cfg = SimclutterConfig(model_name=name, out_root=out_root,
                                epoch_nums=EPOCHS, low_snr=5, high_snr=10,
                                eval_every=30, save_epochs=(), **kw)
         arch = get_arch(cfg.arch)
         params, _ = arch.init(jax.random.key(0), cfg.in_channels,
                               weight_share=cfg.weight_share)
         n_params = param_count(params)
-        t0 = time.time()
-        params, bn_state, history = train(cfg, policy=BF16_COMPUTE)
-        wall = time.time() - t0
+        done = sorted(glob.glob(os.path.join(
+            out_root, f"{name}_epoch_{EPOCHS - 1}_*.npz")))
+        if done:
+            from onet_tpu.core.checkpoint import load_arch_auto
+            print(f"[ablation-simbg] {name}: resuming evals from {done[-1]}",
+                  flush=True)
+            _, params, bn_state, _ = load_arch_auto(done[-1])
+            wall = _log_wall_s(out_root)
+            logs = sorted(glob.glob(os.path.join(out_root, "*.log")))
+            losses = re.findall(r"loss: ([\d.]+)", open(logs[-1]).read())
+            history = {"loss": [float(losses[-1]) if losses else None]}
+        else:
+            t0 = time.time()
+            params, bn_state, history = train(cfg, policy=BF16_COMPUTE)
+            wall = time.time() - t0
         fwd = None if arch.vanilla else arch.forward
         sweep = test_by_snr(params, bn_state, sweep_data,
                             policy=BF16_COMPUTE, forward=fwd)
@@ -83,7 +117,7 @@ def main():
                            ids=nau_ids, forward=fwd)
         results[name] = {
             "params_m": round(n_params / 1e6, 2),
-            "wall_s": round(wall, 1),
+            "wall_s": round(wall, 1) if wall is not None else None,
             "final_loss": history["loss"][-1],
             "sweep_ave": {k: round(float(v), 4)
                           for k, v in sweep["ave"].items()},
