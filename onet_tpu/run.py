@@ -131,10 +131,31 @@ def build_parser() -> argparse.ArgumentParser:
                                 "(exp_nau figure columns; arch inferred "
                                 "from the file)")
         if name == "gen-data":
-            p.add_argument("--out", default="rayleigh_dataset.npz")
+            p.add_argument("--out", default="rayleigh_dataset.npz",
+                           help="output file: .npz/.ts (native) or .pt "
+                                "(reference torch schema — loads in the "
+                                "reference's own dataloaders unchanged; "
+                                "data/export.py)")
             p.add_argument("--bg", choices=["rayleigh", "k"],
                            default="rayleigh",
                            help="clutter family (reference bg_type)")
+            p.add_argument("--workload",
+                           choices=["simclutter", "zy3", "nau"],
+                           default="simclutter",
+                           help="which dataset family to generate: "
+                                "simclutter clutter frames, ZY-3 cloud "
+                                "scenes, or NAU rain frames (synthetic "
+                                "stand-ins for the latter two)")
+            p.add_argument("--frames-per-level", type=int, default=150,
+                           help="simclutter: frames per PSNR level "
+                                "(reference: 150)")
+            p.add_argument("--levels", default="0-10",
+                           help="simclutter: PSNR range low-high "
+                                "(reference prepare_data: 0-10)")
+            p.add_argument("--crop", type=int, default=224,
+                           help="simclutter: center-crop size")
+            p.add_argument("--n", type=int, default=16,
+                           help="zy3/nau: number of scenes")
         if name == "simclutter":
             p.add_argument("--frames-per-level", type=int, default=150)
             p.add_argument("--data-file", default=None,
@@ -319,14 +340,50 @@ def main(argv=None):
         return
 
     if args.cmd == "gen-data":
+        # device generation -> file. A .pt output writes the reference's
+        # own torch schema (data/export.py) so its unmodified dataloaders
+        # consume TPU-generated data; .npz/.ts stay the native formats.
+        if args.workload == "zy3":
+            from onet_tpu.data.zy3 import synthesize_zy3
+            ds, ids = synthesize_zy3(jax.random.key(1981), n=args.n)
+            if args.out.endswith(".pt"):
+                from onet_tpu.data.export import export_zy3_pt
+                written = export_zy3_pt(args.out, ds, ids)
+            else:
+                np.savez(args.out, imgs=np.asarray(ds["imgs"]),
+                         labels=np.asarray(ds["labels"]))
+                written = args.out
+            print(f"saved {written}: {args.n} zy3 scenes "
+                  f"{tuple(ds['imgs'].shape[1:])}")
+            return
+        if args.workload == "nau":
+            from onet_tpu.data.nau import synthesize_nau_rain
+            ds, ids = synthesize_nau_rain(jax.random.key(1981), n=args.n)
+            if args.out.endswith(".pt"):
+                from onet_tpu.data.export import export_nau_pt
+                written = export_nau_pt(args.out, ds, ids)
+            else:
+                np.savez(args.out, imgs=np.asarray(ds["imgs"]),
+                         labels=np.asarray(ds["labels"]))
+                written = args.out
+            print(f"saved {written}: {args.n} nau frames "
+                  f"{tuple(ds['imgs'].shape[1:])}")
+            return
         from onet_tpu.sim.rayleigh import generate_rayleigh_dataset
-        d = generate_rayleigh_dataset(jax.random.key(1981), bg=args.bg)
-        arrays = {k: np.asarray(v) for k, v in d.items()}
-        if args.out.endswith(".ts"):
+        low, _, high = args.levels.partition("-")
+        levels = tuple(range(int(low), int(high or low) + 1))
+        d = generate_rayleigh_dataset(
+            jax.random.key(1981), bg=args.bg, levels=levels,
+            frames_per_level=args.frames_per_level, crop=args.crop)
+        if args.out.endswith(".pt"):
+            from onet_tpu.data.export import export_simclutter_pt
+            written = export_simclutter_pt(args.out, d, bg=args.bg)
+        elif args.out.endswith(".ts"):
             from onet_tpu.data.tilestore import save_store
-            written = save_store(args.out, arrays)
+            written = save_store(args.out,
+                                 {k: np.asarray(v) for k, v in d.items()})
         else:
-            np.savez(args.out, **arrays)
+            np.savez(args.out, **{k: np.asarray(v) for k, v in d.items()})
             written = args.out
         print(f"saved {written}: imgs {d['imgs'].shape}")
         return
