@@ -21,7 +21,9 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
-SPACE_AXIS = "space"
+SPACE_AXIS = "space"      # image height (rows)
+SPACEW_AXIS = "spacew"    # image width (cols) — 2-D spatial partitioning
+#                           maps tiles onto the TPU torus (parallel/halo.py)
 
 
 def make_mesh(shape=None, devices=None, axis_names=(DATA_AXIS, SPACE_AXIS)) -> Mesh:

@@ -9,10 +9,14 @@ operation is local and the collectives are explicit, so JAX's autodiff
 transposes them exactly (ppermute -> reversed ppermute, psum -> broadcast).
 
 Design:
-* 3x3 SAME conv: each shard holds a contiguous block of image rows;
+* 3x3 SAME conv: each shard holds a contiguous block of image rows (and,
+  on a 2-D ``(space, spacew)`` spatial mesh, a row x column block);
   exchange ONE boundary row with each spatial neighbor via ``lax.ppermute``
   (edge shards receive zeros == the SAME zero padding), then convolve with
-  VALID height / SAME width. Exact for any shard height >= 1.
+  VALID height / SAME width. Exact for any shard height >= 1. In 2-D the
+  column exchange runs on the ROW-PADDED tensor, so the sent columns carry
+  the row halos and the diagonal-neighbor corner pixels arrive in two hops
+  — no explicit corner communication needed.
 * 2x2 stride-2 maxpool / transposed conv: window-aligned, purely local
   (requires even local heights: H divisible by 16 * n_space for the 4-level
   U-Net).
@@ -41,7 +45,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from onet_tpu.core.mesh import DATA_AXIS, SPACE_AXIS, replicated, NamedSharding
+from onet_tpu.core.mesh import (DATA_AXIS, SPACE_AXIS, SPACEW_AXIS,
+                                replicated, NamedSharding)
 from onet_tpu.core.policy import Policy, DEFAULT
 from onet_tpu.models import layers as L
 from onet_tpu.models.layers import BN_EPS, BN_MOMENTUM
@@ -62,16 +67,44 @@ def _exchange_row_halos(x, space_axis: str, n_space: int):
     return jnp.concatenate([top, x, bot], axis=1)
 
 
-def make_halo_ops(n_space: int, *, space_axis: str = SPACE_AXIS,
-                  bn_axes=(DATA_AXIS, SPACE_AXIS)):
-    """Layer-op namespace for unet_apply/onet_forward under shard_map."""
+def _exchange_col_halos(x, spacew_axis: str, n_spacew: int):
+    """Column analogue of _exchange_row_halos (pads axis 2 by one column
+    from each width-neighbor; global edge shards receive zeros)."""
+    if n_spacew == 1:
+        zero = jnp.zeros_like(x[:, :, :1])
+        return jnp.concatenate([zero, x, zero], axis=2)
+    right = [(i, i + 1) for i in range(n_spacew - 1)]
+    left = [(i + 1, i) for i in range(n_spacew - 1)]
+    lcol = lax.ppermute(x[:, :, -1:], spacew_axis, right)
+    rcol = lax.ppermute(x[:, :, :1], spacew_axis, left)
+    return jnp.concatenate([lcol, x, rcol], axis=2)
+
+
+def make_halo_ops(n_space: int, n_spacew: int = 1, *,
+                  space_axis: str = SPACE_AXIS,
+                  spacew_axis: str = SPACEW_AXIS, bn_axes=None):
+    """Layer-op namespace for unet_apply/onet_forward under shard_map.
+
+    ``n_spacew > 1`` enables 2-D spatial partitioning: image width shards
+    over ``spacew_axis`` in addition to height over ``space_axis``. The
+    column exchange runs on the row-padded tensor, so corner pixels reach
+    diagonal neighbors through the two axis-aligned hops.
+    """
+    if bn_axes is None:
+        bn_axes = ((DATA_AXIS, space_axis, spacew_axis) if n_spacew > 1
+                   else (DATA_AXIS, space_axis))
 
     def conv3x3(x, w, *, policy: Policy = DEFAULT):
         xp = _exchange_row_halos(x, space_axis, n_space)
+        if n_spacew > 1:
+            xp = _exchange_col_halos(xp, spacew_axis, n_spacew)
+            pad_w = (0, 0)                   # W covered by halos too
+        else:
+            pad_w = (1, 1)                   # W SAME
         return lax.conv_general_dilated(
             policy.cast_compute(xp), policy.cast_compute(w),
             window_strides=(1, 1),
-            padding=((0, 0), (1, 1)),        # H covered by halos, W SAME
+            padding=((0, 0), pad_w),         # H covered by halos
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=policy.precision)
 
@@ -126,12 +159,18 @@ def make_halo_ops(n_space: int, *, space_axis: str = SPACE_AXIS,
     )
 
 
-def validate_spatial_shapes(h: int, n_space: int, levels: int = 4):
-    """Every maxpool needs an even local height: H % (2^levels * n_space)."""
+def validate_spatial_shapes(h: int, n_space: int, levels: int = 4,
+                            w: int = None, n_spacew: int = 1):
+    """Every maxpool needs an even local extent: H % (2^levels * n_space)
+    (and W % (2^levels * n_spacew) on a 2-D spatial mesh)."""
     if h % ((2 ** levels) * n_space):
         raise ValueError(
             f"height {h} not divisible by {(2 ** levels) * n_space} "
             f"(= 2^{levels} pool levels x {n_space} spatial shards)")
+    if n_spacew > 1 and (w or h) % ((2 ** levels) * n_spacew):
+        raise ValueError(
+            f"width {w or h} not divisible by {(2 ** levels) * n_spacew} "
+            f"(= 2^{levels} pool levels x {n_spacew} width shards)")
 
 
 def make_spatial_train_step(mesh, *, policy: Policy = DEFAULT,
@@ -142,15 +181,22 @@ def make_spatial_train_step(mesh, *, policy: Policy = DEFAULT,
     backward is approximate. Signature matches train.steps.make_train_step.
     """
     n_space = int(mesh.shape[SPACE_AXIS])
-    ops = make_halo_ops(n_space)
-    xspec = P(DATA_AXIS, SPACE_AXIS, None, None)
+    # a 'spacew' mesh axis additionally shards image WIDTH (2-D spatial
+    # partitioning; halos exchange along both torus directions)
+    n_spacew = int(mesh.shape.get(SPACEW_AXIS, 1))
+    two_d = SPACEW_AXIS in mesh.axis_names and n_spacew > 1
+    ops = make_halo_ops(n_space, n_spacew if two_d else 1)
+    mesh_axes = ((DATA_AXIS, SPACE_AXIS, SPACEW_AXIS) if two_d
+                 else (DATA_AXIS, SPACE_AXIS))
+    xspec = (P(DATA_AXIS, SPACE_AXIS, SPACEW_AXIS, None) if two_d
+             else P(DATA_AXIS, SPACE_AXIS, None, None))
 
     def sharded_loss(p, bnst, x_loc):
         out, new_bn = onet_forward(p, bnst, x_loc, train=True, bias=bias,
                                    policy=policy, channel_stack=channel_stack,
                                    ops=ops)
         loss = compute_loss(out)     # local mean; equal shard sizes
-        return lax.pmean(loss, (DATA_AXIS, SPACE_AXIS)), new_bn
+        return lax.pmean(loss, mesh_axes), new_bn
 
     # check_vma=False: the static replication checker cannot see through
     # the custom-VJP layers' transpose; correctness (psum'd param grads,
@@ -161,7 +207,8 @@ def make_spatial_train_step(mesh, *, policy: Policy = DEFAULT,
                             out_specs=(P(), P()), check_vma=False)
 
     def train_step(params, bn_state, opt_state, x, lr):
-        validate_spatial_shapes(x.shape[1], n_space)
+        validate_spatial_shapes(x.shape[1], n_space,
+                                w=x.shape[2], n_spacew=n_spacew)
         (loss, new_bn), grads = jax.value_and_grad(
             lambda p: smapped(p, bn_state, x), has_aux=True)(params)
         updates, opt_state = adam_update(grads, opt_state, lr)

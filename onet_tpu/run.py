@@ -181,6 +181,14 @@ def build_parser() -> argparse.ArgumentParser:
                                 "M microbatches (parallel/pipeline.py; exact "
                                 "vs gradient accumulation). Composes with "
                                 "--dp N (needs 2*N devices). 0 = off")
+            p.add_argument("--sp", default=None, metavar="R[xC]",
+                           help="spatially-partitioned training: image "
+                                "rows shard over R devices (exact "
+                                "halo-exchange convs, parallel/halo.py); "
+                                "'RxC' also shards columns (2-D torus "
+                                "block grid). Composes with --dp N (needs "
+                                "N*R*C devices); input size must divide "
+                                "16*R (and 16*C). Exclusive with --pp")
             p.add_argument("--no-weight-share", dest="weight_share",
                            action="store_false", default=True,
                            help="train the twin-weights variant (separate "
@@ -752,7 +760,34 @@ def main(argv=None):
             cfg.model_name += f"_{args.loss}"
         mesh = None
         pp_microbatches = None
-        if args.pp:
+        spatial = False
+        if args.sp:
+            if args.pp:
+                raise SystemExit("--sp and --pp are exclusive")
+            from onet_tpu.core.mesh import (DATA_AXIS, SPACE_AXIS,
+                                            SPACEW_AXIS, make_mesh)
+            rows, _, cols = args.sp.partition("x")
+            rows, cols = int(rows), int(cols or 1)
+            data = args.dp or 1
+            need = data * rows * cols
+            devs = jax.devices()
+            if len(devs) < need:
+                raise SystemExit(f"--sp {args.sp} with --dp {data} needs "
+                                 f"{need} devices, only {len(devs)} visible")
+            if cfg.batch_sz % data:
+                raise SystemExit(f"batch {cfg.batch_sz} not divisible by "
+                                 f"--dp {data}")
+            if cols > 1:
+                mesh = make_mesh(
+                    shape=(data, rows, cols), devices=devs[:need],
+                    axis_names=(DATA_AXIS, SPACE_AXIS, SPACEW_AXIS))
+            else:
+                mesh = make_mesh(shape=(data, rows), devices=devs[:need])
+            spatial = True
+            print(f"[simclutter] spatial halo-exchange training over "
+                  f"{need} devices (data={data} x space={rows}"
+                  + (f" x spacew={cols})" if cols > 1 else ")"))
+        elif args.pp:
             from onet_tpu.core.mesh import DATA_AXIS, make_mesh
             from onet_tpu.parallel.pipeline import STAGE_AXIS
             data = args.dp or 1
@@ -786,7 +821,7 @@ def main(argv=None):
             mesh = make_mesh(shape=(args.dp, 1), devices=devs[:args.dp])
             print(f"[simclutter] data-parallel over {args.dp} devices")
         train(cfg, policy=policy, datasets=datasets, mesh=mesh,
-              pipeline_microbatches=pp_microbatches)
+              pipeline_microbatches=pp_microbatches, spatial=spatial)
         return
 
     if args.cmd == "zy3":

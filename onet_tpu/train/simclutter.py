@@ -103,14 +103,20 @@ def evaluate(eval_step, params, bn_state, test_ds: ArrayDataset, batch_sz: int):
 
 def train(config: SimclutterConfig = SimclutterConfig(), *,
           policy: Policy = DEFAULT, mesh=None,
-          pipeline_microbatches: int = None,
+          pipeline_microbatches: int = None, spatial: bool = False,
           datasets=None, log: bool = True, progress_cb=None):
     """Run the workload. Returns (params, bn_state, history).
 
     ``pipeline_microbatches``: train via the exact GPipe pipeline
     (parallel/pipeline.py) on ``mesh`` (a ``('data', 'stage')`` mesh);
     eval stays replicated single-graph (the pipeline is a training
-    structure — inference has no gradient/BN-update to stage)."""
+    structure — inference has no gradient/BN-update to stage).
+
+    ``spatial``: train via the exact halo-exchange spatially-partitioned
+    step (parallel/halo.py) on ``mesh`` — a ``('data', 'space')`` or 2-D
+    ``('data', 'space', 'spacew')`` mesh; image rows (and columns) shard
+    across chips. Eval stays data-sharded (inference needs no halo
+    backward)."""
     key = jax.random.key(config.seed)
     k_data, k_model, k_loop = jax.random.split(key, 3)
 
@@ -151,6 +157,23 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
             bias=config.bias)
         eval_step = make_eval_step(policy=policy, align="flip",
                                    bias=config.bias)
+    elif spatial:
+        if mesh is None:
+            raise ValueError("spatial=True requires a ('data','space'"
+                             "[,'spacew']) mesh")
+        if config.quantized:
+            raise ValueError("spatial training is exact-arithmetic only")
+        if not arch.vanilla or config.loss != "jsd":
+            raise ValueError("spatial training is defined on the vanilla "
+                             "conv U-Net with the jsd objective")
+        from onet_tpu.parallel.halo import make_spatial_train_step
+        # (the step itself validates the actual batch H/W against the
+        # mesh's pool-divisibility constraint)
+        train_step = make_spatial_train_step(mesh, policy=policy,
+                                             bias=config.bias)
+        # eval shards the batch over 'data' only (forward needs no halos)
+        eval_step = make_eval_step(policy=policy, align="flip", mesh=mesh,
+                                   bias=config.bias)
     else:
         train_step = make_train_step(policy=policy, mesh=mesh,
                                      bias=config.bias,
@@ -161,8 +184,10 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
                                    loss=config.loss)
     if mesh is not None and not pipeline_microbatches:
         # remainder eval batches can't shard over the data axis; fall back
-        # to a replicated single-compile eval for those
-        ndev = int(mesh.devices.size)
+        # to a replicated single-compile eval for those (eval shards over
+        # 'data' only, so that axis — not the whole mesh — is the divisor)
+        from onet_tpu.core.mesh import DATA_AXIS as _DA
+        ndev = int(mesh.shape.get(_DA, mesh.devices.size))
         eval_mesh = eval_step
         eval_plain = make_eval_step(policy=policy, align="flip",
                                     bias=config.bias, forward=fwd,

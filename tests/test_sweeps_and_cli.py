@@ -319,6 +319,54 @@ def test_cli_simclutter_pp_mesh(tmp_path, capsys, monkeypatch):
     assert "===Epoch" in out
 
 
+def test_cli_simclutter_sp_2d_mesh(tmp_path, capsys, monkeypatch):
+    """simclutter --sp RxC trains through the exact halo-exchange step on a
+    (data x space x spacew) 2-D spatial mesh from the CLI, composing with
+    --dp — all four parallel axes are now product surfaces."""
+    from onet_tpu import run as cli
+    import onet_tpu.data.simclutter as S
+
+    real = S.simclutter_datasets
+
+    def tiny(key, **kw):
+        kw.update(frames_per_level=6, crop=32)
+        return real(key, low_snr=kw.pop("low_snr", 0),
+                    high_snr=kw.pop("high_snr", 2), **kw)
+
+    monkeypatch.setattr("onet_tpu.train.simclutter.simclutter_datasets",
+                        tiny)
+    cli.main(["simclutter", "--epochs", "2", "--batch-sz", "4",
+              "--sp", "2x2", "--dp", "2", "--base-channels", "8", "--fp32",
+              "--out-root", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert ("spatial halo-exchange training over 8 devices "
+            "(data=2 x space=2 x spacew=2)") in out
+    assert "===Epoch" in out
+
+
+def test_cli_simclutter_sp_rows_only(tmp_path, capsys, monkeypatch):
+    """--sp R (no xC) shards rows only on a ('data','space') mesh."""
+    from onet_tpu import run as cli
+    import onet_tpu.data.simclutter as S
+
+    real = S.simclutter_datasets
+
+    def tiny(key, **kw):
+        kw.update(frames_per_level=6, crop=32)
+        return real(key, low_snr=kw.pop("low_snr", 0),
+                    high_snr=kw.pop("high_snr", 2), **kw)
+
+    monkeypatch.setattr("onet_tpu.train.simclutter.simclutter_datasets",
+                        tiny)
+    cli.main(["simclutter", "--epochs", "1", "--batch-sz", "4",
+              "--sp", "2", "--base-channels", "8", "--fp32",
+              "--out-root", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert ("spatial halo-exchange training over 2 devices "
+            "(data=1 x space=2)") in out
+    assert "===Epoch" in out
+
+
 def test_cli_summary(capsys):
     from onet_tpu import run as cli
     cli.main(["summary", "--base-channels", "8", "--input-sz", "64"])
