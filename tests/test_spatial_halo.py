@@ -192,6 +192,42 @@ def test_halo_conv_2d_matches_same_padding():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_halo_collective_structure_1d_vs_2d():
+    """Compiled-HLO evidence for the exchange pattern: the 2-D spatial
+    step carries exactly 2x the 1-D step's collective-permutes (one
+    column exchange per row exchange, each transposed once in backward),
+    and the count is independent of the data-axis size — the halo
+    traffic per device is fixed as the mesh grows."""
+    from onet_tpu.core.mesh import DATA_AXIS, SPACE_AXIS, SPACEW_AXIS
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    params, bn = onet_init(jax.random.key(0), 1, base=8)
+
+    def cp_count(mesh, batch):
+        step = make_spatial_train_step(mesh)
+        x = jax.ShapeDtypeStruct((batch, 32, 32, 1), jnp.float32)
+        hlo = step.lower(params, bn, adam_init(params), x,
+                         1e-4).compile().as_text()
+        # sync ("collective-permute(") or async ("-start(") lowering
+        return (hlo.count("collective-permute-start(")
+                or hlo.count("collective-permute("))
+
+    def mesh1d(data):
+        return make_mesh(shape=(data, 2), devices=jax.devices()[:data * 2])
+
+    def mesh2d(data):
+        return make_mesh(shape=(data, 2, 2),
+                         devices=jax.devices()[:data * 4],
+                         axis_names=(DATA_AXIS, SPACE_AXIS, SPACEW_AXIS))
+
+    c1 = [cp_count(mesh1d(d), 2 * d) for d in (1, 2)]
+    c2 = [cp_count(mesh2d(d), 2 * d) for d in (1, 2)]
+    assert c1[0] > 0, "expected halo collective-permutes in the HLO"
+    assert c1[0] == c1[1], c1     # data axis adds no halo traffic
+    assert c2[0] == c2[1], c2
+    assert c2[0] == 2 * c1[0], (c1, c2)   # cols double the exchanges
+
+
 def test_spatial_2d_step_matches_single_device():
     """(data=2, space=2, spacew=2) 2-D halo step == single-device step.
     H=W=32 puts the deepest encoder level at ONE local row x ONE local
