@@ -59,6 +59,15 @@ from jax.experimental.pallas import tpu as pltpu
 C = 64          # per-branch channels at the packed levels
 L = 2 * C       # packed lane count
 
+# Row-block size used by the differentiable wrappers. 16 fits Mosaic's
+# default scoped-VMEM budget; larger blocks amortize the per-block fixed
+# cost (~12 us vs ~3.3 us of matmul) and are enabled by the raised
+# vmem_limit_bytes in _cparams — measured on-chip: rblk 16/32/64 chain
+# 6.70/6.43/6.30 ms vs XLA block-diagonal 5.31 ms (RESULTS.md round 3),
+# so bigger blocks help the kernel ~6% but do not flip the A/B.
+import os as _os
+RBLK = int(_os.environ.get("ONET_WP_RBLK", "16"))
+
 
 # ---------------------------------------------------------------------------
 # layout helpers (XLA)
@@ -287,6 +296,17 @@ def _pick_rblk(h, rblk):
     return rblk
 
 
+def _cparams(rblk):
+    """Mosaic compiler params. Row blocks beyond 16 exceed Mosaic's default
+    ~16 MB scoped-VMEM budget (rblk=32 stages ~21.5 MB of window/operand
+    scratch); the v5e has 128 MB of physical VMEM, so raise the per-kernel
+    cap instead of capping the block size. rblk<=16 keeps the default
+    budget — the measured round-3 configuration is untouched."""
+    return pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=(100 * 1024 * 1024 if rblk > 16 else None))
+
+
 def conv3x3_wp_raw(x, wc, we, *, bias=None, rblk: int = 16,
                    stats: bool = False, bias_relu: bool = False,
                    out_dtype=None, interpret: bool = False):
@@ -331,8 +351,7 @@ def conv3x3_wp_raw(x, wc, we, *, bias=None, rblk: int = 16,
             pltpu.VMEM((rblk + 2, wp, L), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+        compiler_params=_cparams(rblk),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * wp * L * L * 6,
             bytes_accessed=int(x.size * x.dtype.itemsize * (1 + 2 / rblk)
@@ -387,8 +406,7 @@ def conv3x3_wp2_raw(xa, xb, wca, wea, wcb, web, *, bias=None,
             pltpu.VMEM((rblk + 2, wp, L), xa.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+        compiler_params=_cparams(rblk),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * wp * L * L * 12,
             bytes_accessed=int(2 * xa.size * xa.dtype.itemsize
@@ -477,8 +495,7 @@ def conv3x3_wp_dw(x, dy, *, rblk: int = 16, interpret: bool = False):
             pltpu.VMEM((rblk + 2, wp, L), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+        compiler_params=_cparams(rblk),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * wp * L * L * 6,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
@@ -515,7 +532,8 @@ def conv3x3_wp(x, w):
     both of which stop gradients); the VJP ignores them.
     """
     wc, we = make_wc_we(w, dtype=x.dtype)
-    return conv3x3_wp_raw(x, wc, we, stats=True, interpret=INTERPRET)
+    return conv3x3_wp_raw(x, wc, we, stats=True, rblk=RBLK,
+                          interpret=INTERPRET)
 
 
 def _conv_wp_fwd(x, w):
@@ -528,8 +546,10 @@ def _conv_wp_bwd(res, cts):
     dy, _ds1, _ds2 = cts
     dy = dy.astype(x.dtype)
     wtc, wte = make_wc_we(flip_transpose(w), dtype=x.dtype)
-    dx = conv3x3_wp_raw(dy, wtc, wte, stats=False, interpret=INTERPRET)
-    dw = conv3x3_wp_dw(x, dy, interpret=INTERPRET).astype(w.dtype)
+    dx = conv3x3_wp_raw(dy, wtc, wte, stats=False, rblk=RBLK,
+                        interpret=INTERPRET)
+    dw = conv3x3_wp_dw(x, dy, rblk=RBLK,
+                       interpret=INTERPRET).astype(w.dtype)
     return dx, dw
 
 
@@ -547,7 +567,7 @@ def conv3x3_wp2(xa, xb, wa, wb):
     wca, wea = make_wc_we(wa, dtype=dt)
     wcb, web = make_wc_we(wb, dtype=dt)
     return conv3x3_wp2_raw(xa, xb, wca, wea, wcb, web, stats=True,
-                           interpret=INTERPRET)
+                           rblk=RBLK, interpret=INTERPRET)
 
 
 def _conv_wp2_fwd(xa, xb, wa, wb):
@@ -560,10 +580,14 @@ def _conv_wp2_bwd(res, cts):
     dy = dy.astype(xa.dtype)
     wtca, wtea = make_wc_we(flip_transpose(wa), dtype=dy.dtype)
     wtcb, wteb = make_wc_we(flip_transpose(wb), dtype=dy.dtype)
-    dxa = conv3x3_wp_raw(dy, wtca, wtea, stats=False, interpret=INTERPRET)
-    dxb = conv3x3_wp_raw(dy, wtcb, wteb, stats=False, interpret=INTERPRET)
-    dwa = conv3x3_wp_dw(xa, dy, interpret=INTERPRET).astype(wa.dtype)
-    dwb = conv3x3_wp_dw(xb, dy, interpret=INTERPRET).astype(wb.dtype)
+    dxa = conv3x3_wp_raw(dy, wtca, wtea, stats=False, rblk=RBLK,
+                         interpret=INTERPRET)
+    dxb = conv3x3_wp_raw(dy, wtcb, wteb, stats=False, rblk=RBLK,
+                         interpret=INTERPRET)
+    dwa = conv3x3_wp_dw(xa, dy, rblk=RBLK,
+                        interpret=INTERPRET).astype(wa.dtype)
+    dwb = conv3x3_wp_dw(xb, dy, rblk=RBLK,
+                        interpret=INTERPRET).astype(wb.dtype)
     return dxa, dxb, dwa, dwb
 
 
