@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name in ("simclutter", "zy3", "nau", "gen-data", "bench", "sweep",
                  "serve", "summary", "import-torch", "export-torch",
-                 "infoseg", "iic"):
+                 "export-artifact", "infoseg", "iic"):
         p = sub.add_parser(name)
         _add_common(p)
         if name in ("simclutter", "zy3"):
@@ -212,7 +212,9 @@ def build_parser() -> argparse.ArgumentParser:
                            help="comma list (e.g. 0.01,0.05): ALSO report "
                                 "threshold-detector dr at these FAR budgets")
         if name == "serve":
-            p.add_argument("--model", required=True, help=".npz checkpoint")
+            p.add_argument("--model", required=True,
+                           help=".npz checkpoint (or reference .pt, or an "
+                                ".onetx AOT artifact from export-artifact)")
             p.add_argument("--input", default=None,
                            help=".npz with 'imgs' NHWC in [0,1] "
                                 "(synthetic frames when absent)")
@@ -260,6 +262,18 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--frames-per-level", type=int, default=150)
             p.add_argument("--low-snr", type=int, default=0)
             p.add_argument("--high-snr", type=int, default=2)
+        if name == "export-artifact":
+            p.add_argument("--model", required=True,
+                           help=".npz (or reference .pt) checkpoint; "
+                                "width/channels/twin-ness inferred")
+            p.add_argument("--out", default=None,
+                           help="output artifact (default: <model>.onetx)")
+            p.add_argument("--serve-batch", type=int, default=0,
+                           help="pin the artifact's batch size (0 = "
+                                "symbolic: one artifact serves any batch, "
+                                "compiling per concrete size on first use)")
+            p.add_argument("--platforms", default="tpu,cpu",
+                           help="comma list of platforms to lower for")
         if name == "export-torch":
             p.add_argument("--model", required=True,
                            help="onet-tpu .npz checkpoint (model width/"
@@ -345,6 +359,34 @@ def main(argv=None):
         print(f"[export-torch] {args.model} -> {out}: base {base}, "
               f"in_channels {cin}, {'twin' if twin else 'shared'}, "
               f"epoch {epoch}")
+        return
+
+    if args.cmd == "export-artifact":
+        # AOT deployment bundle: the BN-folded serving graph serialized
+        # via jax.export with weights baked in (serve/artifact.py). Loads
+        # with zero model code; `serve --model x.onetx` consumes it.
+        # Exporting is pure lowering — it needs NO device, and the folded
+        # weights (124 MB at full size) would crawl through the TPU
+        # tunnel — so fold+export run on the host CPU; the artifact still
+        # carries the TPU lowering (jax.export is cross-platform).
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass   # backend already initialized; export on it instead
+        from onet_tpu.core.checkpoint import load_onet_auto
+        from onet_tpu.serve.artifact import export_serving_artifact
+        params, bn, _ = load_onet_auto(args.model)
+        out = args.out or (os.path.splitext(args.model)[0] + ".onetx")
+        cin = params["top"]["inc"]["conv1"]["w"].shape[2]
+        meta = export_serving_artifact(
+            params, bn, out, input_hw=(args.input_sz, args.input_sz),
+            in_channels=cin, batch=args.serve_batch or None, policy=policy,
+            platforms=tuple(args.platforms.split(",")),
+            extra_meta={"model": os.path.basename(args.model)})
+        print(f"[export-artifact] {args.model} -> {out}: "
+              f"{os.path.getsize(out) / 1e6:.1f} MB, "
+              f"input [{meta['batch']}, {args.input_sz}, {args.input_sz}, "
+              f"{cin}], platforms {','.join(meta['platforms'])}")
         return
 
     if args.cmd == "gen-data":
@@ -502,12 +544,35 @@ def main(argv=None):
         from onet_tpu.models.arch import arch_from_meta
         from onet_tpu.models.infer import fold_onet, onet_infer
         from onet_tpu.models.onet import predict_label
+        from onet_tpu.serve.artifact import is_artifact
+        artifact_mode = is_artifact(args.model)
+        if artifact_mode:
+            # AOT artifact serving: the .onetx bundle IS the model — no
+            # checkpoint load, no fold, no backbone code (serve/artifact.py)
+            from onet_tpu.serve.artifact import load_serving_artifact
+            if args.int8:
+                raise SystemExit(
+                    "--int8 quantizes a checkpoint's folded graph; an "
+                    ".onetx artifact's arithmetic is already baked in "
+                    "(export a quantized artifact is not supported yet)")
+            if args.dp:
+                raise SystemExit(
+                    "--dp shards the checkpoint serving graph; export "
+                    "artifacts are single-device graphs (serve the .npz "
+                    "checkpoint with --dp instead)")
+            acall, ameta = load_serving_artifact(args.model)
+            print(f"[serve] artifact {args.model}: input "
+                  f"[{ameta['batch']}, {ameta['input_hw'][0]}, "
+                  f"{ameta['input_hw'][1]}, {ameta['in_channels']}], "
+                  f"exported from {ameta.get('model', '?')}")
         # the checkpoint's own metadata picks the backbone family
         # (models/arch.py; npz files written by the train drivers carry it;
         # meta-less / torch checkpoints are the vanilla conv U-Net)
-        meta = read_checkpoint_meta(args.model)
+        meta = {} if artifact_mode else read_checkpoint_meta(args.model)
         arch = arch_from_meta(meta)
-        if not arch.vanilla:
+        if artifact_mode:
+            pass
+        elif not arch.vanilla:
             if args.int8:
                 raise SystemExit(
                     f"--int8 serving quantizes the folded conv U-Net; the "
@@ -536,7 +601,12 @@ def main(argv=None):
             imgs = np.concatenate([np.asarray(d["imgs"])
                                    for d in data.values()])
             print(f"[serve] no --input; {imgs.shape[0]} synthetic frames")
-        if args.int8:
+        if artifact_mode:
+            # keep the (model_arg, xb) step contract so the detector /
+            # tiling / http pipeline below composes unchanged
+            step = lambda _m, xb, _c=acall: _c(xb)   # noqa: E731
+            model_arg = None
+        elif args.int8:
             from onet_tpu.models.quant import (
                 calibrate, quantize_folded, onet_infer_q)
             scales = calibrate(folded, jnp.asarray(imgs[:args.serve_batch]))

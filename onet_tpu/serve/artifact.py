@@ -1,0 +1,164 @@
+"""AOT serving artifacts: single-file StableHLO deployment bundles.
+
+``export_serving_artifact`` serializes the BN-folded inference graph via
+``jax.export`` with the weights BAKED IN as module constants, producing one
+self-contained ``.onetx`` file. Loading needs zero model code — the
+deserialized module is called directly — so a trained model deploys to any
+machine with jax installed (TPU or CPU; the artifact carries lowerings for
+both platforms) without this package, its checkpoint format, or the
+backbone definition. The batch dimension is exported SYMBOLIC by default:
+one artifact serves any batch size, with XLA compiling per concrete batch
+on first use (static H/W/C keep every compiled graph fully tiled for the
+MXU).
+
+This is an additive TPU-native deployment surface; the reference ships no
+serving story at all (its entry points are per-script training drivers,
+SURVEY.md L4 — Train_Onet_on_simclutter_20250407.py:609-618 run recipes).
+
+File format (little-endian):
+
+    bytes 0..7    magic  b"ONETX01\\0"
+    bytes 8..15   uint64 header length N
+    bytes 16..16+N json header (input spec, model metadata, versions)
+    rest          jax.export serialized module (weights inside)
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+
+MAGIC = b"ONETX01\x00"   # 8 bytes
+
+# Serving artifacts must stay loadable by OLD readers as jax.export's
+# calling convention evolves; pin the floor we guarantee (jax.export
+# supports >= its minimum_supported_calling_convention_version).
+_HEADER_VERSION = 1
+
+
+def _call_fn(folded, policy, bias):
+    """The exported computation: x [B,H,W,C] f32 -> (S f32, labels int32)."""
+    import jax.numpy as jnp
+    from onet_tpu.models.infer import onet_infer
+
+    def fn(x):
+        s, labels = onet_infer(folded, x, bias=bias, policy=policy)
+        return s.astype(jnp.float32), labels.astype(jnp.int32)
+
+    return fn
+
+
+def export_serving_artifact(params, bn_state, out_path, *,
+                            input_hw, in_channels=1, batch=None,
+                            policy=None, bias=0.0,
+                            platforms=("tpu", "cpu"),
+                            extra_meta=None) -> dict:
+    """Export the folded serving graph for ``(params, bn_state)``.
+
+    batch=None exports a SYMBOLIC batch dimension (any batch size at call
+    time); an int pins it (the artifact then only accepts that batch).
+    Returns the header metadata dict that was written.
+    """
+    import jax
+    from jax import export as jexport
+    from onet_tpu.core.policy import BF16_COMPUTE
+    from onet_tpu.models.infer import fold_onet
+    from onet_tpu.utils.summary import count_parameters
+
+    policy = policy or BF16_COMPUTE
+    folded = jax.jit(fold_onet)(params, bn_state)
+    fn = _call_fn(folded, policy, bias)
+
+    if batch is None:
+        b, = jexport.symbolic_shape("b")
+    else:
+        b = int(batch)
+    h, w = input_hw
+    spec = jax.ShapeDtypeStruct((b, h, w, in_channels), np.float32)
+    exported = jexport.export(jax.jit(fn), platforms=tuple(platforms))(spec)
+    blob = exported.serialize()
+
+    meta = {
+        "header_version": _HEADER_VERSION,
+        "input_hw": [int(h), int(w)],
+        "in_channels": int(in_channels),
+        "batch": "symbolic" if batch is None else int(batch),
+        "bias": float(bias),
+        "platforms": list(platforms),
+        "output": ["S float32 [B,H,W,2]", "labels int32 [B,H,W]"],
+        "params_m": round(float(count_parameters(params)), 4),
+        "jax_version": jax.__version__,
+        "calling_convention": exported.calling_convention_version,
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    head = json.dumps(meta).encode()
+    with open(out_path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<Q", len(head)))
+        f.write(head)
+        f.write(blob)
+    return meta
+
+
+def read_artifact_meta(path) -> dict:
+    """Header metadata only (no jax import, no deserialization)."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        if magic != MAGIC:
+            raise ValueError(
+                f"{path}: not a serving artifact (magic {magic!r}; expected "
+                f"{MAGIC!r} — export one with `onet_tpu export-artifact`)")
+        (n,) = struct.unpack("<Q", f.read(8))
+        return json.loads(f.read(n).decode())
+
+
+def load_serving_artifact(path):
+    """Load ``path`` -> ``(call, meta)``.
+
+    ``call(x)`` takes [B,H,W,C] float32 (B free if the artifact was
+    exported with a symbolic batch) and returns ``(S, labels)`` — the same
+    contract as the checkpoint serving step, so the detector / tiling /
+    HTTP pipeline composes unchanged. The call is jit-wrapped; compiled
+    executables cache per concrete batch shape.
+    """
+    import jax
+    from jax import export as jexport
+
+    meta = read_artifact_meta(path)
+    with open(path, "rb") as f:
+        f.seek(8)
+        (n,) = struct.unpack("<Q", f.read(8))
+        f.seek(16 + n)
+        blob = f.read()
+    exported = jexport.deserialize(blob)
+    call = jax.jit(exported.call)
+
+    def artifact_call(x):
+        x = jax.numpy.asarray(x, dtype=jax.numpy.float32)
+        expect = (meta["input_hw"][0], meta["input_hw"][1],
+                  meta["in_channels"])
+        if tuple(x.shape[1:]) != expect:
+            raise ValueError(
+                f"artifact expects input [B, {expect[0]}, {expect[1]}, "
+                f"{expect[2]}]; got {tuple(x.shape)} (artifacts carry "
+                "static H/W/C — tile larger scenes with serve --tile, or "
+                "re-export at this size)")
+        if meta["batch"] != "symbolic" and x.shape[0] != meta["batch"]:
+            raise ValueError(
+                f"artifact was exported with a pinned batch of "
+                f"{meta['batch']}; got {x.shape[0]} (re-export with "
+                "--serve-batch 0 for a symbolic batch)")
+        return call(x)
+
+    return artifact_call, meta
+
+
+def is_artifact(path) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return f.read(8) == MAGIC
+    except OSError:
+        return False

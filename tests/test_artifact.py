@@ -1,0 +1,122 @@
+"""AOT serving artifacts (serve/artifact.py): export -> file -> load with
+zero model code -> exact agreement with the live checkpoint serving path.
+
+The reference has no serving/deployment surface (SURVEY.md L4: per-script
+drivers only); this is the additive TPU-native deployment story, so the
+tests pin its contracts: the single-file format, the symbolic batch
+dimension, the shape/batch validation errors, and CLI round-trips through
+`export-artifact` + `serve --model x.onetx` (detector included).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from onet_tpu.core.policy import DEFAULT
+from onet_tpu.models.infer import fold_onet, onet_infer
+from onet_tpu.models.onet import onet_init
+from onet_tpu.serve.artifact import (
+    export_serving_artifact, is_artifact, load_serving_artifact,
+    read_artifact_meta)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    return onet_init(jax.random.key(7), 1, base=8)
+
+
+def _direct(params, bn, x):
+    folded = jax.jit(fold_onet)(params, bn)
+    s, labels = onet_infer(folded, jnp.asarray(x), policy=DEFAULT)
+    return np.asarray(s), np.asarray(labels)
+
+
+def test_symbolic_batch_roundtrip(small_model, tmp_path):
+    params, bn = small_model
+    path = str(tmp_path / "m.onetx")
+    meta = export_serving_artifact(params, bn, path, input_hw=(32, 32),
+                                   in_channels=1, batch=None, policy=DEFAULT,
+                                   platforms=("cpu",))
+    assert meta["batch"] == "symbolic"
+    assert is_artifact(path) and not is_artifact(__file__)
+    assert read_artifact_meta(path)["input_hw"] == [32, 32]
+
+    call, _ = load_serving_artifact(path)
+    rng = np.random.default_rng(0)
+    for b in (1, 5):  # one artifact, multiple batch sizes
+        x = rng.uniform(0, 1, (b, 32, 32, 1)).astype(np.float32)
+        s, labels = call(x)
+        s_ref, l_ref = _direct(params, bn, x)
+        np.testing.assert_array_equal(np.asarray(labels), l_ref)
+        np.testing.assert_allclose(np.asarray(s), s_ref, atol=1e-6)
+
+
+def test_pinned_batch_and_shape_validation(small_model, tmp_path):
+    params, bn = small_model
+    path = str(tmp_path / "m4.onetx")
+    export_serving_artifact(params, bn, path, input_hw=(32, 32),
+                            in_channels=1, batch=4, policy=DEFAULT,
+                            platforms=("cpu",))
+    call, meta = load_serving_artifact(path)
+    assert meta["batch"] == 4
+    x = np.zeros((4, 32, 32, 1), np.float32)
+    s, labels = call(x)
+    assert np.asarray(labels).shape == (4, 32, 32)
+    with pytest.raises(ValueError, match="pinned batch"):
+        call(np.zeros((3, 32, 32, 1), np.float32))
+    with pytest.raises(ValueError, match="static H/W/C"):
+        call(np.zeros((4, 64, 64, 1), np.float32))
+
+
+def test_not_an_artifact_error(tmp_path):
+    bad = tmp_path / "bad.onetx"
+    bad.write_bytes(b"not an artifact at all")
+    with pytest.raises(ValueError, match="not a serving artifact"):
+        read_artifact_meta(str(bad))
+
+
+def test_cli_export_and_serve_artifact(small_model, tmp_path, capsys):
+    from onet_tpu import run as cli
+    from onet_tpu.core.checkpoint import save_checkpoint
+
+    params, bn = small_model
+    ck = str(tmp_path / "m_epoch_2.npz")
+    save_checkpoint(ck, params, bn, 2)
+    cli.main(["export-artifact", "--model", ck, "--input-sz", "32",
+              "--platforms", "cpu", "--fp32"])
+    art = str(tmp_path / "m_epoch_2.onetx")
+    assert os.path.exists(art)
+    assert "[export-artifact]" in capsys.readouterr().out
+
+    imgs = np.random.default_rng(1).uniform(
+        0, 1, (6, 32, 32, 1)).astype(np.float32)
+    np.savez(tmp_path / "frames.npz", imgs=imgs)
+
+    # artifact serving == checkpoint serving, mask for mask
+    for tag, model in (("ck", ck), ("art", art)):
+        cli.main(["serve", "--model", model, "--input",
+                  str(tmp_path / "frames.npz"),
+                  "--out", str(tmp_path / f"out_{tag}.npz"),
+                  "--fp32", "--serve-batch", "3"])
+    m_ck = np.load(tmp_path / "out_ck.npz")["masks"]
+    m_art = np.load(tmp_path / "out_art.npz")["masks"]
+    np.testing.assert_array_equal(m_ck, m_art)
+    assert "[serve] artifact" in capsys.readouterr().out
+
+    # the detector pipeline composes on top of the artifact step
+    cli.main(["serve", "--model", art, "--input",
+              str(tmp_path / "frames.npz"),
+              "--out", str(tmp_path / "det.npz"),
+              "--far-budget", "0.05", "--fp32", "--serve-batch", "6"])
+    assert "calibrated detector threshold" in capsys.readouterr().out
+    with np.load(tmp_path / "det.npz") as z:
+        assert z["masks"].shape == (6, 32, 32)
+
+    # int8 / dp are checkpoint-path features: clear errors on artifacts
+    with pytest.raises(SystemExit, match="int8"):
+        cli.main(["serve", "--model", art, "--int8", "--fp32",
+                  "--input", str(tmp_path / "frames.npz")])

@@ -84,7 +84,9 @@ def test_cli_gen_data(tmp_path, monkeypatch):
 
     original = R.generate_rayleigh_dataset
 
-    def tiny_gen(key, bg="rayleigh"):
+    def tiny_gen(key, bg="rayleigh", **_cli_kwargs):
+        # the CLI forwards --levels/--frames-per-level/--crop; the tiny
+        # override wins so the test stays fast
         return original(key, levels=(5,), frames_per_level=2, crop=64,
                         bg=bg)
 
