@@ -274,6 +274,14 @@ def build_parser() -> argparse.ArgumentParser:
                                 "compiling per concrete size on first use)")
             p.add_argument("--platforms", default="tpu,cpu",
                            help="comma list of platforms to lower for")
+            p.add_argument("--int8", action="store_true",
+                           help="bake the int8 PTQ graph instead of bf16 "
+                                "(models/quant.py; calibrates on --calib "
+                                "or synthetic clutter frames; validate "
+                                "mask agreement on your checkpoint first)")
+            p.add_argument("--calib", default=None,
+                           help=".npz with 'imgs' NHWC in [0,1] for int8 "
+                                "calibration (first 8 frames used)")
         if name == "export-torch":
             p.add_argument("--model", required=True,
                            help="onet-tpu .npz checkpoint (model width/"
@@ -373,18 +381,81 @@ def main(argv=None):
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
             pass   # backend already initialized; export on it instead
-        from onet_tpu.core.checkpoint import load_onet_auto
-        from onet_tpu.serve.artifact import export_serving_artifact
+        from onet_tpu.core.checkpoint import (load_checkpoint,
+                                              load_onet_auto,
+                                              read_checkpoint_meta)
+        from onet_tpu.models.arch import arch_from_meta
+        from onet_tpu.serve.artifact import (export_fn_artifact,
+                                             export_serving_artifact)
+        ck_meta = read_checkpoint_meta(args.model)
+        arch = arch_from_meta(ck_meta)
+        if not arch.vanilla:
+            # stateless backbone families export their plain forward
+            # (no BN to fold; the quant path is conv-U-Net-specific)
+            if args.int8:
+                raise SystemExit(
+                    f"--int8 quantizes the folded conv U-Net; the "
+                    f"checkpoint is --arch {arch.name} (bf16/fp32 "
+                    "artifacts work)")
+            import jax.numpy as jnp
+            from onet_tpu.models.onet import predict_label
+            from onet_tpu.utils.summary import count_parameters
+            in_ch = ck_meta.get("in_channels", args.in_channels)
+            params, state = arch.init(
+                jax.random.key(0), in_ch,
+                weight_share=ck_meta.get("weight_share", True))
+            params, state, _ = load_checkpoint(args.model, params, state)
+
+            def fn(x):
+                out, _ = arch.forward(params, state, x, train=False,
+                                      policy=policy)
+                return (out.S.astype(jnp.float32),
+                        predict_label(out.S).astype(jnp.int32))
+
+            out = args.out or (os.path.splitext(args.model)[0] + ".onetx")
+            meta = export_fn_artifact(
+                fn, out, input_hw=(args.input_sz, args.input_sz),
+                in_channels=in_ch, batch=args.serve_batch or None,
+                platforms=tuple(args.platforms.split(",")),
+                extra_meta={"model": os.path.basename(args.model),
+                            "arch": arch.name,
+                            "arithmetic": ("bf16" if args.bf16
+                                           else "float32"),
+                            "params_m": round(float(
+                                count_parameters(params)), 4)})
+            print(f"[export-artifact] {args.model} -> {out}: "
+                  f"{os.path.getsize(out) / 1e6:.1f} MB, "
+                  f"arch {arch.name}, {meta['arithmetic']}, "
+                  f"input [{meta['batch']}, {args.input_sz}, "
+                  f"{args.input_sz}, {in_ch}]")
+            return
         params, bn, _ = load_onet_auto(args.model)
         out = args.out or (os.path.splitext(args.model)[0] + ".onetx")
         cin = params["top"]["inc"]["conv1"]["w"].shape[2]
+        calib = None
+        if args.int8:
+            if args.calib:
+                calib = np.load(args.calib)["imgs"].astype(np.float32)[:8]
+            else:
+                if (args.input_sz, cin) != (224, 1):
+                    raise SystemExit(
+                        "--int8 without --calib synthesizes 224^2 "
+                        "grayscale clutter frames; pass --calib for "
+                        f"{args.input_sz}^2 x{cin} inputs")
+                from onet_tpu.train.sweeps import per_snr_datasets
+                data = per_snr_datasets(jax.random.key(7),
+                                        frames_per_level=8, levels=(5,))
+                calib = np.asarray(next(iter(data.values()))["imgs"])
+                print("[export-artifact] int8 calibration on 8 synthetic "
+                      "clutter frames (pass --calib for your data)")
         meta = export_serving_artifact(
             params, bn, out, input_hw=(args.input_sz, args.input_sz),
             in_channels=cin, batch=args.serve_batch or None, policy=policy,
             platforms=tuple(args.platforms.split(",")),
+            int8_calib=calib,
             extra_meta={"model": os.path.basename(args.model)})
         print(f"[export-artifact] {args.model} -> {out}: "
-              f"{os.path.getsize(out) / 1e6:.1f} MB, "
+              f"{os.path.getsize(out) / 1e6:.1f} MB, {meta['arithmetic']}, "
               f"input [{meta['batch']}, {args.input_sz}, {args.input_sz}, "
               f"{cin}], platforms {','.join(meta['platforms'])}")
         return
@@ -554,14 +625,15 @@ def main(argv=None):
                 raise SystemExit(
                     "--int8 quantizes a checkpoint's folded graph; an "
                     ".onetx artifact's arithmetic is already baked in "
-                    "(export a quantized artifact is not supported yet)")
+                    "(export a quantized one: export-artifact --int8)")
             if args.dp:
                 raise SystemExit(
                     "--dp shards the checkpoint serving graph; export "
                     "artifacts are single-device graphs (serve the .npz "
                     "checkpoint with --dp instead)")
             acall, ameta = load_serving_artifact(args.model)
-            print(f"[serve] artifact {args.model}: input "
+            print(f"[serve] artifact {args.model}: "
+                  f"{ameta.get('arithmetic', 'bf16')}, input "
                   f"[{ameta['batch']}, {ameta['input_hw'][0]}, "
                   f"{ameta['input_hw'][1]}, {ameta['in_channels']}], "
                   f"exported from {ameta.get('model', '?')}")
@@ -716,7 +788,8 @@ def main(argv=None):
             # npy-over-HTTP (serve/http.py). The pipeline above (int8 /
             # detector / dp / tiling) is exactly what gets served.
             from onet_tpu.serve.http import ServingSession, start_server
-            mode = ("int8" if args.int8 else
+            mode = (f"artifact:{ameta.get('arithmetic', '?')}"
+                    if artifact_mode else "int8" if args.int8 else
                     "bf16" if args.bf16 else "fp32")
             if args.far_budget:
                 mode += f"+detector@far{args.far_budget:g}"
@@ -772,7 +845,8 @@ def main(argv=None):
         dt = time.perf_counter() - t0
         masks = np.concatenate(masks)
         np.savez(args.out, masks=masks)
-        mode = "int8" if args.int8 else "bf16"
+        mode = (f"artifact:{ameta.get('arithmetic', '?')}" if artifact_mode
+                else "int8" if args.int8 else "bf16")
         if args.far_budget:
             mode += f"+detector@far{args.far_budget:g}"
         print(f"[serve:{mode}] {n} frames in {dt:.2f}s "

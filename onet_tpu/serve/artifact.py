@@ -54,14 +54,19 @@ def export_serving_artifact(params, bn_state, out_path, *,
                             input_hw, in_channels=1, batch=None,
                             policy=None, bias=0.0,
                             platforms=("tpu", "cpu"),
+                            int8_calib=None, head_bf16=True,
                             extra_meta=None) -> dict:
     """Export the folded serving graph for ``(params, bn_state)``.
 
     batch=None exports a SYMBOLIC batch dimension (any batch size at call
     time); an int pins it (the artifact then only accepts that batch).
-    Returns the header metadata dict that was written.
+    ``int8_calib`` (a [B,H,W,C] calibration batch in [0,1]) bakes the
+    int8 PTQ graph instead (models/quant.py — ~2x MXU rate on TPU, under
+    the usual >=99% mask-agreement contract; validate on your checkpoint
+    first). Returns the header metadata dict that was written.
     """
     import jax
+    import jax.numpy as jnp
     from jax import export as jexport
     from onet_tpu.core.policy import BF16_COMPUTE
     from onet_tpu.models.infer import fold_onet
@@ -69,7 +74,44 @@ def export_serving_artifact(params, bn_state, out_path, *,
 
     policy = policy or BF16_COMPUTE
     folded = jax.jit(fold_onet)(params, bn_state)
-    fn = _call_fn(folded, policy, bias)
+    if int8_calib is not None:
+        from onet_tpu.models.onet import is_weight_shared
+        from onet_tpu.models.quant import (
+            calibrate, onet_infer_q, quantize_folded)
+        if not is_weight_shared(params):
+            raise ValueError("int8 artifacts require the weight-shared "
+                             "model (the quantized graph is the stacked "
+                             "twin pass; models/quant.py)")
+        scales = calibrate(folded, jnp.asarray(int8_calib), bias=bias,
+                           policy=policy)
+        q = quantize_folded(folded, scales)
+
+        def fn(x):
+            s, labels = onet_infer_q(q, x, bias=bias, head_bf16=head_bf16)
+            return s.astype(jnp.float32), labels.astype(jnp.int32)
+
+        arithmetic = "int8" + ("+bf16head" if head_bf16 else "")
+    else:
+        fn = _call_fn(folded, policy, bias)
+        arithmetic = np.dtype(policy.compute_dtype).name
+
+    meta = {"bias": float(bias), "arithmetic": arithmetic,
+            "params_m": round(float(count_parameters(params)), 4)}
+    if extra_meta:
+        meta.update(extra_meta)
+    return export_fn_artifact(fn, out_path, input_hw=input_hw,
+                              in_channels=in_channels, batch=batch,
+                              platforms=platforms, extra_meta=meta)
+
+
+def export_fn_artifact(fn, out_path, *, input_hw, in_channels, batch=None,
+                       platforms=("tpu", "cpu"), extra_meta=None) -> dict:
+    """Export any ``fn(x [B,H,W,C] f32) -> (S f32, labels i32)`` serving
+    step (weights closed over become module constants). The generic
+    writer behind export_serving_artifact; non-vanilla backbone families
+    export their plain forward through this."""
+    import jax
+    from jax import export as jexport
 
     if batch is None:
         b, = jexport.symbolic_shape("b")
@@ -85,10 +127,8 @@ def export_serving_artifact(params, bn_state, out_path, *,
         "input_hw": [int(h), int(w)],
         "in_channels": int(in_channels),
         "batch": "symbolic" if batch is None else int(batch),
-        "bias": float(bias),
         "platforms": list(platforms),
         "output": ["S float32 [B,H,W,2]", "labels int32 [B,H,W]"],
-        "params_m": round(float(count_parameters(params)), 4),
         "jax_version": jax.__version__,
         "calling_convention": exported.calling_convention_version,
     }

@@ -72,6 +72,84 @@ def test_pinned_batch_and_shape_validation(small_model, tmp_path):
         call(np.zeros((4, 64, 64, 1), np.float32))
 
 
+def test_int8_artifact_matches_live_quant_path(small_model, tmp_path):
+    """An --int8 artifact bakes the SAME quantized graph the live
+    `serve --int8` path builds: same calibration batch -> identical
+    masks, and the header records the arithmetic."""
+    from onet_tpu.models.quant import calibrate, onet_infer_q, quantize_folded
+
+    params, bn = small_model
+    rng = np.random.default_rng(3)
+    calib = rng.uniform(0, 1, (4, 32, 32, 1)).astype(np.float32)
+    path = str(tmp_path / "q.onetx")
+    meta = export_serving_artifact(params, bn, path, input_hw=(32, 32),
+                                   in_channels=1, batch=None, policy=DEFAULT,
+                                   platforms=("cpu",), int8_calib=calib)
+    assert meta["arithmetic"] == "int8+bf16head"
+    call, _ = load_serving_artifact(path)
+
+    folded = jax.jit(fold_onet)(params, bn)
+    scales = calibrate(folded, jnp.asarray(calib), policy=DEFAULT)
+    q = quantize_folded(folded, scales)
+    x = rng.uniform(0, 1, (3, 32, 32, 1)).astype(np.float32)
+    s_ref, l_ref = onet_infer_q(q, jnp.asarray(x))
+    s, labels = call(x)
+    # the artifact is compiled from the serialized module, not the live
+    # trace; the bf16 head conv reassociates differently, so near-tie
+    # pixels (random-init model: S ~ 0.5 everywhere) may flip. Hold the
+    # int8 serving agreement contract (>= 99%) and score closeness.
+    agree = float((np.asarray(labels) == np.asarray(l_ref)).mean())
+    assert agree >= 0.99, agree
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=5e-2)
+
+
+def test_int8_artifact_rejects_twin_model(tmp_path):
+    from onet_tpu.models.onet import onet_init as init
+    params, bn = init(jax.random.key(1), 1, base=8, weight_share=False)
+    with pytest.raises(ValueError, match="weight-shared"):
+        export_serving_artifact(
+            params, bn, str(tmp_path / "t.onetx"), input_hw=(32, 32),
+            in_channels=1, policy=DEFAULT, platforms=("cpu",),
+            int8_calib=np.zeros((2, 32, 32, 1), np.float32))
+
+
+def test_cli_export_arch_artifact(tmp_path, capsys):
+    """Non-vanilla backbone families export their plain forward: the
+    artifact reproduces `serve` on the same swin checkpoint."""
+    from onet_tpu import run as cli
+    from onet_tpu.core.checkpoint import save_checkpoint
+    from onet_tpu.models.swin import swin_onet_init
+
+    params, state = swin_onet_init(jax.random.key(0), 1, window=2,
+                                   embed_dim=12)
+    ck = str(tmp_path / "swin_epoch_1.npz")
+    save_checkpoint(ck, params, state, 1,
+                    meta={"arch": "swin", "swin_window": 2,
+                          "swin_embed": 12, "in_channels": 1,
+                          "weight_share": True})
+    cli.main(["export-artifact", "--model", ck, "--input-sz", "64",
+              "--platforms", "cpu", "--fp32"])
+    out = capsys.readouterr().out
+    assert "arch swin" in out
+    art = str(tmp_path / "swin_epoch_1.onetx")
+    assert read_artifact_meta(art)["arch"] == "swin"
+
+    imgs = np.random.default_rng(0).uniform(
+        0, 1, (4, 64, 64, 1)).astype(np.float32)
+    np.savez(tmp_path / "frames.npz", imgs=imgs)
+    for tag, model in (("ck", ck), ("art", art)):
+        cli.main(["serve", "--model", model, "--input",
+                  str(tmp_path / "frames.npz"),
+                  "--out", str(tmp_path / f"sw_{tag}.npz"),
+                  "--fp32", "--serve-batch", "2"])
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "sw_ck.npz")["masks"],
+        np.load(tmp_path / "sw_art.npz")["masks"])
+
+    with pytest.raises(SystemExit, match="arch swin"):
+        cli.main(["export-artifact", "--model", ck, "--int8", "--fp32"])
+
+
 def test_not_an_artifact_error(tmp_path):
     bad = tmp_path / "bad.onetx"
     bad.write_bytes(b"not an artifact at all")
