@@ -8,6 +8,7 @@ dimension, the shape/batch validation errors, and CLI round-trips through
 `export-artifact` + `serve --model x.onetx` (detector included).
 """
 
+import json
 import os
 
 import numpy as np
@@ -148,6 +149,67 @@ def test_cli_export_arch_artifact(tmp_path, capsys):
 
     with pytest.raises(SystemExit, match="arch swin"):
         cli.main(["export-artifact", "--model", ck, "--int8", "--fp32"])
+
+
+def test_cli_serve_http_on_artifact(small_model, tmp_path, monkeypatch):
+    """The resident HTTP daemon composes on the artifact step: start
+    `serve --model x.onetx --http 0`, answer real requests, and match
+    the direct artifact call."""
+    import io
+    import threading
+    import time
+    import urllib.request
+
+    from onet_tpu import run as cli
+    from onet_tpu.core.checkpoint import save_checkpoint
+    import onet_tpu.serve.http as H
+
+    params, bn = small_model
+    ck = str(tmp_path / "m_epoch_2.npz")
+    save_checkpoint(ck, params, bn, 2)
+    cli.main(["export-artifact", "--model", ck, "--input-sz", "32",
+              "--platforms", "cpu", "--fp32"])
+    art = str(tmp_path / "m_epoch_2.onetx")
+    imgs = np.random.default_rng(5).uniform(
+        0, 1, (4, 32, 32, 1)).astype(np.float32)
+    np.savez(tmp_path / "frames.npz", imgs=imgs)
+
+    captured = {}
+    real_start = H.start_server
+
+    def capture(sess, port, host="127.0.0.1"):
+        httpd = real_start(sess, port, host)
+        captured["port"] = httpd.server_address[1]
+        return httpd
+
+    monkeypatch.setattr(H, "start_server", capture)
+    t = threading.Thread(target=cli.main, args=(
+        ["serve", "--model", art, "--input", str(tmp_path / "frames.npz"),
+         "--fp32", "--serve-batch", "2", "--http", "0",
+         "--http-requests", "2"],))
+    t.start()
+    try:
+        deadline = time.time() + 120
+        while "port" not in captured and time.time() < deadline:
+            time.sleep(0.05)
+        assert "port" in captured, "daemon never bound"
+        base = f"http://127.0.0.1:{captured['port']}"
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["mode"].startswith("artifact:")
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        req = urllib.request.Request(base + "/segment",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            masks = np.load(io.BytesIO(resp.read()))
+    finally:
+        t.join(timeout=120)
+    assert not t.is_alive()
+    call, _ = load_serving_artifact(art)
+    _, direct = call(imgs)
+    np.testing.assert_array_equal(masks,
+                                  np.asarray(direct).astype(np.uint8))
 
 
 def test_not_an_artifact_error(tmp_path):

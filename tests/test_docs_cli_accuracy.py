@@ -12,7 +12,7 @@ import re
 from onet_tpu.run import build_parser
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DOCS = ("README.md", "docs/MIGRATION.md")
+DOCS = ("README.md", "docs/MIGRATION.md", "docs/DEPLOYMENT.md")
 
 CMD_RE = re.compile(r"python -m onet_tpu\.run\s+([a-z0-9-]+)([^\n|`]*)")
 FLAG_RE = re.compile(r"--[a-z0-9-]+")
