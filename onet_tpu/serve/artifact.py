@@ -25,6 +25,7 @@ File format (little-endian):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import struct
 
@@ -131,6 +132,9 @@ def export_fn_artifact(fn, out_path, *, input_hw, in_channels, batch=None,
         "output": ["S float32 [B,H,W,2]", "labels int32 [B,H,W]"],
         "jax_version": jax.__version__,
         "calling_convention": exported.calling_convention_version,
+        # integrity guard: a truncated/corrupted deployment copy fails
+        # at load with a clear message instead of a deserializer crash
+        "blob_sha256": hashlib.sha256(blob).hexdigest(),
     }
     if extra_meta:
         meta.update(extra_meta)
@@ -173,6 +177,11 @@ def load_serving_artifact(path):
         (n,) = struct.unpack("<Q", f.read(8))
         f.seek(16 + n)
         blob = f.read()
+    want = meta.get("blob_sha256")
+    if want and hashlib.sha256(blob).hexdigest() != want:
+        raise ValueError(
+            f"{path}: module bytes do not match the header checksum — "
+            "the artifact is truncated or corrupted; re-copy or re-export")
     exported = jexport.deserialize(blob)
     call = jax.jit(exported.call)
 

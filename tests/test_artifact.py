@@ -219,6 +219,50 @@ def test_not_an_artifact_error(tmp_path):
         read_artifact_meta(str(bad))
 
 
+def test_corrupted_artifact_fails_checksum(small_model, tmp_path):
+    params, bn = small_model
+    path = str(tmp_path / "c.onetx")
+    export_serving_artifact(params, bn, path, input_hw=(32, 32),
+                            in_channels=1, policy=DEFAULT,
+                            platforms=("cpu",))
+    data = bytearray(open(path, "rb").read())
+    data[-100] ^= 0xFF                      # flip a byte in the module
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="checksum"):
+        load_serving_artifact(path)
+    truncated = str(tmp_path / "t.onetx")
+    open(truncated, "wb").write(bytes(data[:-1000]))
+    with pytest.raises(ValueError, match="checksum"):
+        load_serving_artifact(truncated)
+
+
+def test_cli_serve_tiled_on_artifact(small_model, tmp_path, capsys):
+    """`serve --tile` composes with an artifact exported at the WINDOW
+    size (tile + 2*halo): identical masks to checkpoint tiled serving."""
+    from onet_tpu import run as cli
+    from onet_tpu.core.checkpoint import save_checkpoint
+
+    params, bn = small_model
+    ck = str(tmp_path / "m_epoch_2.npz")
+    save_checkpoint(ck, params, bn, 2)
+    cli.main(["export-artifact", "--model", ck, "--input-sz", "32",
+              "--platforms", "cpu", "--fp32"])   # 32 = tile 16 + 2*8
+    art = str(tmp_path / "m_epoch_2.onetx")
+
+    scene = np.random.default_rng(2).uniform(
+        0, 1, (1, 48, 48, 1)).astype(np.float32)
+    np.savez(tmp_path / "scene.npz", imgs=scene)
+    for tag, model in (("ck", ck), ("art", art)):
+        cli.main(["serve", "--model", model, "--input",
+                  str(tmp_path / "scene.npz"),
+                  "--out", str(tmp_path / f"t_{tag}.npz"),
+                  "--fp32", "--tile", "16", "--halo", "8",
+                  "--serve-batch", "2"])
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "t_ck.npz")["masks"],
+        np.load(tmp_path / "t_art.npz")["masks"])
+
+
 def test_cli_export_and_serve_artifact(small_model, tmp_path, capsys):
     from onet_tpu import run as cli
     from onet_tpu.core.checkpoint import save_checkpoint
