@@ -67,6 +67,9 @@ L = 2 * C       # packed lane count
 # so bigger blocks help the kernel ~6% but do not flip the A/B.
 import os as _os
 RBLK = int(_os.environ.get("ONET_WP_RBLK", "16"))
+if RBLK < 1 or RBLK & (RBLK - 1):
+    raise ValueError(f"ONET_WP_RBLK={RBLK}: must be a positive power of "
+                     "two (row-block sizes halve until they divide H)")
 
 
 # ---------------------------------------------------------------------------

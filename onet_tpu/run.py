@@ -419,8 +419,9 @@ def main(argv=None):
                 platforms=tuple(args.platforms.split(",")),
                 extra_meta={"model": os.path.basename(args.model),
                             "arch": arch.name,
-                            "arithmetic": ("bf16" if args.bf16
-                                           else "float32"),
+                            # same spelling as the vanilla exporter
+                            "arithmetic": np.dtype(
+                                policy.compute_dtype).name,
                             "params_m": round(float(
                                 count_parameters(params)), 4)})
             print(f"[export-artifact] {args.model} -> {out}: "
@@ -664,9 +665,19 @@ def main(argv=None):
             from onet_tpu.core.checkpoint import load_onet_auto
             params, bn, _ = load_onet_auto(args.model)
             folded = jax.jit(fold_onet)(params, bn)
-        if args.input and os.path.exists(args.input):
+        if args.input:
+            if not os.path.exists(args.input):
+                raise SystemExit(f"--input {args.input}: no such file")
             imgs = np.load(args.input)["imgs"].astype(np.float32)
         else:
+            if artifact_mode and not args.tile and (
+                    tuple(ameta["input_hw"]) != (224, 224)
+                    or ameta["in_channels"] != 1):
+                raise SystemExit(
+                    "the synthetic-frame fallback generates 224^2 "
+                    "grayscale clutter, but this artifact expects "
+                    f"[{ameta['input_hw'][0]}, {ameta['input_hw'][1]}, "
+                    f"{ameta['in_channels']}] inputs — pass --input")
             from onet_tpu.train.sweeps import per_snr_datasets
             data = per_snr_datasets(jax.random.key(7), frames_per_level=16,
                                     levels=(5, 10))
@@ -732,9 +743,10 @@ def main(argv=None):
                     # the untiled graph never compiles at full scene size
                     win = args.tile + 2 * args.halo
                     h, w = calib.shape[1:3]
-                    if h > win and w > win:
-                        y0, x0 = (h - win) // 2, (w - win) // 2
-                        calib = calib[:, y0:y0 + win, x0:x0 + win]
+                    ch, cw = min(h, win), min(w, win)   # clamp PER dim
+                    if (ch, cw) != (h, w):
+                        y0, x0 = (h - ch) // 2, (w - cw) // 2
+                        calib = calib[:, y0:y0 + ch, x0:x0 + cw]
                 s0, _ = base_step(model_arg, jnp.asarray(calib))
                 thr = float(jnp.quantile(score_of(s0),
                                          1.0 - args.far_budget))
@@ -797,10 +809,13 @@ def main(argv=None):
                 mode += f"+dp{args.dp}"
             sess = ServingSession(
                 step, model_arg, batch=args.serve_batch,
-                in_channels=args.in_channels, mode=mode,
+                in_channels=(ameta["in_channels"] if artifact_mode
+                             else args.in_channels), mode=mode,
                 model_name=os.path.basename(args.model),
                 tile=args.tile, halo=args.halo,
-                input_hw=tuple(imgs.shape[1:3]))
+                input_hw=(tuple(ameta["input_hw"])
+                          if artifact_mode and not args.tile
+                          else tuple(imgs.shape[1:3])))
             sess.warmup()
             httpd = start_server(sess, args.http)
             host, port = httpd.server_address[:2]
@@ -830,11 +845,19 @@ def main(argv=None):
             lat = []
             for i in range(0, imgs.shape[0], args.serve_batch):
                 tb = time.perf_counter()
-                xb = jnp.asarray(imgs[i:i + args.serve_batch])
+                chunk = imgs[i:i + args.serve_batch]
+                got = chunk.shape[0]
+                if got < args.serve_batch:
+                    # pad the ragged tail to the ONE compiled shape (no
+                    # tail recompile; pinned-batch artifacts require it)
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:],
+                                          args.serve_batch - got, axis=0)])
+                xb = jnp.asarray(chunk)
                 _, labels = step(model_arg, xb)
-                masks.append(np.asarray(labels).astype(np.uint8))
+                masks.append(np.asarray(labels)[:got].astype(np.uint8))
                 lat.append(time.perf_counter() - tb)
-                n += xb.shape[0]
+                n += got
             if len(lat) > 2:
                 # per-batch serving latency (np.asarray is the real
                 # device->host sync on axon); first batch = compile
@@ -846,7 +869,8 @@ def main(argv=None):
         masks = np.concatenate(masks)
         np.savez(args.out, masks=masks)
         mode = (f"artifact:{ameta.get('arithmetic', '?')}" if artifact_mode
-                else "int8" if args.int8 else "bf16")
+                else "int8" if args.int8 else
+                "bf16" if args.bf16 else "fp32")
         if args.far_budget:
             mode += f"+detector@far{args.far_budget:g}"
         print(f"[serve:{mode}] {n} frames in {dt:.2f}s "

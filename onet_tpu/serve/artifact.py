@@ -68,7 +68,6 @@ def export_serving_artifact(params, bn_state, out_path, *,
     """
     import jax
     import jax.numpy as jnp
-    from jax import export as jexport
     from onet_tpu.core.policy import BF16_COMPUTE
     from onet_tpu.models.infer import fold_onet
     from onet_tpu.utils.summary import count_parameters
@@ -147,16 +146,50 @@ def export_fn_artifact(fn, out_path, *, input_hw, in_channels, batch=None,
     return meta
 
 
+def _read_container(path, *, want_blob):
+    """Parse the container; every malformation (bad magic, truncated
+    prefix/header/module, unreadable JSON, future header version) raises
+    ValueError with a clear message. Returns (meta, blob-or-None)."""
+    with open(path, "rb") as f:
+        prefix = f.read(16)
+        if prefix[:8] != MAGIC:
+            raise ValueError(
+                f"{path}: not a serving artifact (magic {prefix[:8]!r}; "
+                f"expected {MAGIC!r} — export one with `onet_tpu "
+                "export-artifact`)")
+        if len(prefix) < 16:
+            raise ValueError(f"{path}: truncated artifact (only "
+                             f"{len(prefix)} bytes of the 16-byte prefix)")
+        (n,) = struct.unpack("<Q", prefix[8:16])
+        head = f.read(n)
+        if len(head) < n:
+            raise ValueError(f"{path}: truncated artifact header "
+                             f"({len(head)} of {n} bytes)")
+        try:
+            meta = json.loads(head.decode())
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            raise ValueError(
+                f"{path}: corrupted artifact header ({e})") from None
+        if meta.get("header_version", 1) > _HEADER_VERSION:
+            raise ValueError(
+                f"{path}: artifact header v{meta['header_version']} > "
+                f"supported v{_HEADER_VERSION} — upgrade this package to "
+                "load it")
+        blob = None
+        if want_blob:
+            blob = f.read()
+            want = meta.get("blob_sha256")
+            if want and hashlib.sha256(blob).hexdigest() != want:
+                raise ValueError(
+                    f"{path}: module bytes do not match the header "
+                    "checksum — the artifact is truncated or corrupted; "
+                    "re-copy or re-export")
+        return meta, blob
+
+
 def read_artifact_meta(path) -> dict:
     """Header metadata only (no jax import, no deserialization)."""
-    with open(path, "rb") as f:
-        magic = f.read(8)
-        if magic != MAGIC:
-            raise ValueError(
-                f"{path}: not a serving artifact (magic {magic!r}; expected "
-                f"{MAGIC!r} — export one with `onet_tpu export-artifact`)")
-        (n,) = struct.unpack("<Q", f.read(8))
-        return json.loads(f.read(n).decode())
+    return _read_container(path, want_blob=False)[0]
 
 
 def load_serving_artifact(path):
@@ -171,17 +204,7 @@ def load_serving_artifact(path):
     import jax
     from jax import export as jexport
 
-    meta = read_artifact_meta(path)
-    with open(path, "rb") as f:
-        f.seek(8)
-        (n,) = struct.unpack("<Q", f.read(8))
-        f.seek(16 + n)
-        blob = f.read()
-    want = meta.get("blob_sha256")
-    if want and hashlib.sha256(blob).hexdigest() != want:
-        raise ValueError(
-            f"{path}: module bytes do not match the header checksum — "
-            "the artifact is truncated or corrupted; re-copy or re-export")
+    meta, blob = _read_container(path, want_blob=True)
     exported = jexport.deserialize(blob)
     call = jax.jit(exported.call)
 

@@ -63,10 +63,11 @@ def main():
 
     spec = jax.ShapeDtypeStruct((B, HW, HW, 1), np.float32)
     exp = jexport.export(jax.jit(fn_baked), platforms=("tpu",))(spec)
-    baked = jax.jit(jexport.deserialize(exp.serialize()).call)
+    blob = exp.serialize()
+    baked = jax.jit(jexport.deserialize(blob).call)
     t = timeit(baked, x)
     print(f"exported, baked:     {t * 1e3:7.1f} ms/batch "
-          f"({len(exp.serialize()) / 1e6:.1f} MB)")
+          f"({len(blob) / 1e6:.1f} MB)")
 
     def fn_args(f, xb):
         s, labels = onet_infer(f, xb, policy=BF16_COMPUTE)
@@ -75,10 +76,11 @@ def main():
     fspec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), folded)
     exp2 = jexport.export(jax.jit(fn_args), platforms=("tpu",))(fspec, spec)
-    asargs = jax.jit(jexport.deserialize(exp2.serialize()).call)
+    blob2 = exp2.serialize()
+    asargs = jax.jit(jexport.deserialize(blob2).call)
     t = timeit(lambda xb: asargs(folded, xb), x)
     print(f"exported, as-args:   {t * 1e3:7.1f} ms/batch "
-          f"({len(exp2.serialize()) / 1e6:.1f} MB module)")
+          f"({len(blob2) / 1e6:.1f} MB module)")
 
 
 if __name__ == "__main__":

@@ -219,6 +219,53 @@ def test_not_an_artifact_error(tmp_path):
         read_artifact_meta(str(bad))
 
 
+def test_cli_serve_pinned_batch_artifact_ragged_tail(small_model, tmp_path):
+    """The flat serve loop pads the ragged final batch to the one
+    compiled shape, so a pinned-batch artifact serves any frame count."""
+    from onet_tpu import run as cli
+    from onet_tpu.core.checkpoint import save_checkpoint
+
+    params, bn = small_model
+    ck = str(tmp_path / "m_epoch_2.npz")
+    save_checkpoint(ck, params, bn, 2)
+    cli.main(["export-artifact", "--model", ck, "--input-sz", "32",
+              "--platforms", "cpu", "--fp32", "--serve-batch", "4"])
+    art = str(tmp_path / "m_epoch_2.onetx")
+    imgs = np.random.default_rng(9).uniform(
+        0, 1, (6, 32, 32, 1)).astype(np.float32)   # 6 = 4 + ragged 2
+    np.savez(tmp_path / "frames.npz", imgs=imgs)
+    cli.main(["serve", "--model", art, "--input",
+              str(tmp_path / "frames.npz"),
+              "--out", str(tmp_path / "rag.npz"),
+              "--fp32", "--serve-batch", "4"])
+    masks = np.load(tmp_path / "rag.npz")["masks"]
+    assert masks.shape == (6, 32, 32)
+    call, _ = load_serving_artifact(art)
+    _, direct = call(np.concatenate([imgs[4:], imgs[4:]]))  # pad as CLI does
+    np.testing.assert_array_equal(masks[4:], np.asarray(direct)[:2]
+                                  .astype(np.uint8))
+
+
+def test_cli_serve_artifact_input_errors(small_model, tmp_path):
+    """Missing --input paths and shape-mismatched synthetic fallbacks
+    fail loudly instead of silently serving the wrong data."""
+    from onet_tpu import run as cli
+    from onet_tpu.core.checkpoint import save_checkpoint
+
+    params, bn = small_model
+    ck = str(tmp_path / "m_epoch_2.npz")
+    save_checkpoint(ck, params, bn, 2)
+    cli.main(["export-artifact", "--model", ck, "--input-sz", "32",
+              "--platforms", "cpu", "--fp32"])
+    art = str(tmp_path / "m_epoch_2.onetx")
+    with pytest.raises(SystemExit, match="no such file"):
+        cli.main(["serve", "--model", art, "--input",
+                  str(tmp_path / "typo.npz"), "--fp32"])
+    # a 32^2 artifact cannot use the 224^2 synthetic fallback
+    with pytest.raises(SystemExit, match="pass --input"):
+        cli.main(["serve", "--model", art, "--fp32"])
+
+
 def test_corrupted_artifact_fails_checksum(small_model, tmp_path):
     params, bn = small_model
     path = str(tmp_path / "c.onetx")
@@ -234,6 +281,29 @@ def test_corrupted_artifact_fails_checksum(small_model, tmp_path):
     open(truncated, "wb").write(bytes(data[:-1000]))
     with pytest.raises(ValueError, match="checksum"):
         load_serving_artifact(truncated)
+    # every malformation class raises ValueError with a clear message,
+    # never struct.error / JSONDecodeError
+    clean = open(str(tmp_path / "c.onetx"), "rb").read()
+    for cut, msg in ((12, "16-byte prefix"), (40, "truncated artifact "
+                                                  "header")):
+        p = str(tmp_path / f"cut{cut}.onetx")
+        open(p, "wb").write(clean[:cut])
+        with pytest.raises(ValueError, match=msg):
+            read_artifact_meta(p)
+    garbled = bytearray(clean)
+    garbled[20] = 0xFF                      # inside the JSON header
+    p = str(tmp_path / "gar.onetx")
+    open(p, "wb").write(bytes(garbled))
+    with pytest.raises(ValueError, match="corrupted artifact header"):
+        read_artifact_meta(p)
+    import json as _json
+    import struct as _struct
+    from onet_tpu.serve.artifact import MAGIC
+    head = _json.dumps({"header_version": 99}).encode()
+    p = str(tmp_path / "future.onetx")
+    open(p, "wb").write(MAGIC + _struct.pack("<Q", len(head)) + head)
+    with pytest.raises(ValueError, match="upgrade this package"):
+        read_artifact_meta(p)
 
 
 def test_cli_serve_tiled_on_artifact(small_model, tmp_path, capsys):
