@@ -16,6 +16,8 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
+import signal
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +71,12 @@ class SimclutterConfig:
     resume: bool = False
     autosave_every: int = 0
     autosave_keep: int = 3
+    # preemption safety (additive): on SIGTERM — what a TPU-VM preemption
+    # or a batch scheduler sends — finish the current step, write a
+    # checkpoint into the autosave namespace, and return cleanly so
+    # `resume=True` continues the run on the next VM. Installed only in
+    # the main thread (signal handlers cannot be set elsewhere).
+    preempt_save: bool = True
     # opt-in int8 training arithmetic (models/qtrain.py; SOL.md section 4):
     # None = exact, "fwd" = int8 forward convs, "fwd+dx" = also the
     # input-gradient convs. Gate on mask agreement (runs/qtrain_validate.py)
@@ -206,6 +214,17 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
     history = {"loss": [], "eval": {}}
     mark = datehour_mark()
     writer = AsyncCheckpointWriter()
+    # preemption flag: SIGTERM sets it; the loop drains the current step,
+    # checkpoints, and returns (handler installable only in main thread)
+    preempted = threading.Event()
+    old_sigterm = None
+    if (config.preempt_save
+            and threading.current_thread() is threading.main_thread()):
+        # restored after the loop; if an exception escapes instead, the
+        # process is dying anyway and a stale flag-setting handler is
+        # inert (the next train() call chains a fresh one)
+        old_sigterm = signal.signal(signal.SIGTERM,
+                                    lambda signum, frame: preempted.set())
     start_epoch = 0
     if config.resume:
         ck = latest_checkpoint(config.out_root)
@@ -241,6 +260,27 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
             params, bn_state, opt_state, loss = train_step(
                 params, bn_state, opt_state, x, lr)
             losses.append(loss)
+            if preempted.is_set():
+                break
+        if preempted.is_set():
+            # drain: checkpoint into the autosave namespace (auto-resume
+            # finds it; rotation keeps it inside autosave_keep). The
+            # interrupted epoch is recorded as NOT done (epoch - 1), so
+            # resume redoes it in full — exactness over wall time.
+            path = os.path.join(
+                config.out_root,
+                f"{config.model_name}_autosave_{max(epoch - 1, 0)}"
+                f"_{mark}.npz")
+            from onet_tpu.models.arch import arch_meta
+            writer.save(path, params, bn_state, epoch - 1,
+                        opt_state=opt_state, meta=arch_meta(config))
+            history["preempted"] = epoch
+            msg = (f"SIGTERM: preempted at epoch {epoch}; checkpoint "
+                   f"saved -> {path} (resume=True continues)")
+            if log:
+                print(msg)
+                logging.warning(msg)
+            break
         if not losses:
             raise ValueError(
                 f"every batch was dropped: no batch of {config.batch_sz} "
@@ -284,6 +324,8 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
                 logging.info("Saved checkpoint at epoch %d: %s", epoch, path)
 
     writer.wait()
+    if old_sigterm is not None:
+        signal.signal(signal.SIGTERM, old_sigterm)
     if log:
         from onet_tpu.report.curves import save_training_curves
 

@@ -1,0 +1,92 @@
+"""Preemption-safe training: SIGTERM -> drain step -> checkpoint -> clean
+exit -> resume. TPU VMs are preemptible and batch schedulers send SIGTERM;
+the reference loses the whole run (its only checkpoints are epoch 300 and
+the final epoch, Train_Onet_on_simclutter_20250407.py:255-267). Here the
+driver checkpoints into the autosave namespace and `resume=True` redoes
+the interrupted epoch in full (exactness over wall time).
+
+The SIGTERM half runs in a subprocess (signal handlers are process-global
+and the kill must hit a live training loop); resume runs in-process.
+"""
+
+import glob
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+def test_sigterm_checkpoints_and_resume(tmp_path):
+    out_root = str(tmp_path / "out")
+    marker = str(tmp_path / "ready")
+    # the worker writes the marker after epoch 2 then trains "forever";
+    # the parent SIGTERMs it and expects a clean exit + autosave
+    code = f"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from onet_tpu.data.arrays import ArrayDataset
+from onet_tpu.train.simclutter import SimclutterConfig, train
+
+rng = np.random.default_rng(0)
+imgs = rng.uniform(0, 1, (8, 32, 32, 1)).astype(np.float32)
+labels = (imgs[..., 0] > 0.8).astype(np.int32)
+ds = ArrayDataset({{"imgs": imgs, "labels": labels}})
+cfg = SimclutterConfig(epoch_nums=100000, batch_sz=4, base_channels=8,
+                       out_root={out_root!r}, model_name="pre",
+                       eval_every=1, save_epochs=())
+
+def cb(epoch, loss, metrics):
+    if epoch >= 2 and not os.path.exists({marker!r}):
+        open({marker!r}, "w").write(str(epoch))
+
+_, _, hist = train(cfg, datasets=(ds, ds), log=False, progress_cb=cb)
+print("PREEMPTED_AT", hist.get("preempted"))
+sys.exit(0)
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True, env=env)
+    try:
+        deadline = time.time() + 300
+        while not os.path.exists(marker):
+            assert proc.poll() is None, proc.communicate()[1][-2000:]
+            assert time.time() < deadline, "worker never reached epoch 2"
+            time.sleep(0.2)
+        proc.send_signal(signal.SIGTERM)
+        out, err = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, err[-2000:]
+    assert "PREEMPTED_AT" in out and "None" not in out.split()[-1], out
+
+    saved = glob.glob(os.path.join(out_root, "pre_autosave_*.npz"))
+    assert saved, "preemption wrote no autosave checkpoint"
+
+    # resume in-process: picks up the autosave, redoes the interrupted
+    # epoch, runs to completion
+    from onet_tpu.core.checkpoint import read_checkpoint_meta
+    from onet_tpu.data.arrays import ArrayDataset
+    from onet_tpu.train.simclutter import SimclutterConfig, train
+
+    meta = read_checkpoint_meta(saved[0])
+    assert meta.get("arch", "vanilla") == "vanilla"
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (8, 32, 32, 1)).astype(np.float32)
+    labels = (imgs[..., 0] > 0.8).astype(np.int32)
+    ds = ArrayDataset({"imgs": imgs, "labels": labels})
+    saved_epoch = int(np.load(saved[0])["__epoch__"])
+    cfg = SimclutterConfig(epoch_nums=saved_epoch + 3, batch_sz=4,
+                           base_channels=8, out_root=out_root,
+                           model_name="pre", eval_every=100,
+                           save_epochs=(), resume=True)
+    _, _, hist = train(cfg, datasets=(ds, ds), log=False)
+    # resume started after the recorded epoch and trained the remainder
+    assert len(hist["loss"]) == 2
+    assert "preempted" not in hist
