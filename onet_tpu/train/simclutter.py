@@ -16,8 +16,6 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
-import signal
-import threading
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +27,7 @@ from onet_tpu.core.policy import Policy, DEFAULT
 from onet_tpu.data.arrays import ArrayDataset, batch_iterator
 from onet_tpu.data.simclutter import simclutter_datasets
 from onet_tpu.models.onet import onet_init
+from onet_tpu.train.preempt import PreemptGuard
 from onet_tpu.models.unet import param_count
 from onet_tpu.report.logs import epoch_log_line, setup_logging
 from onet_tpu.train.optim import adam_init, step_decay
@@ -214,17 +213,11 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
     history = {"loss": [], "eval": {}}
     mark = datehour_mark()
     writer = AsyncCheckpointWriter()
-    # preemption flag: SIGTERM sets it; the loop drains the current step,
-    # checkpoints, and returns (handler installable only in main thread)
-    preempted = threading.Event()
-    old_sigterm = None
-    if (config.preempt_save
-            and threading.current_thread() is threading.main_thread()):
-        # restored after the loop; if an exception escapes instead, the
-        # process is dying anyway and a stale flag-setting handler is
-        # inert (the next train() call chains a fresh one)
-        old_sigterm = signal.signal(signal.SIGTERM,
-                                    lambda signum, frame: preempted.set())
+    # preemption guard: SIGTERM sets a flag; the loop drains the current
+    # step, checkpoints, and returns (train/preempt.py). Restored after
+    # the loop; if an exception escapes instead, the process is dying
+    # anyway and a stale flag-setting handler is inert.
+    guard = PreemptGuard(config.preempt_save).install()
     start_epoch = 0
     if config.resume:
         ck = latest_checkpoint(config.out_root)
@@ -260,9 +253,9 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
             params, bn_state, opt_state, loss = train_step(
                 params, bn_state, opt_state, x, lr)
             losses.append(loss)
-            if preempted.is_set():
+            if guard.triggered:
                 break
-        if preempted.is_set():
+        if guard.triggered:
             # drain: checkpoint into the autosave namespace (auto-resume
             # finds it; rotation keeps it inside autosave_keep). The
             # interrupted epoch is recorded as NOT done (epoch - 1), so
@@ -324,8 +317,7 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
                 logging.info("Saved checkpoint at epoch %d: %s", epoch, path)
 
     writer.wait()
-    if old_sigterm is not None:
-        signal.signal(signal.SIGTERM, old_sigterm)
+    guard.restore()
     if log:
         from onet_tpu.report.curves import save_training_curves
 

@@ -53,6 +53,10 @@ class Zy3Config:
     seed: int = 1981
     base_channels: int = 64
     restart_from: Optional[str] = None
+    # preemption safety (train/preempt.py): SIGTERM -> drain the step,
+    # checkpoint, return cleanly; pass the saved path as restart_from to
+    # continue (the interrupted epoch is redone in full)
+    preempt_save: bool = True
     save_epochs: tuple = (300,)
     # backbone family (models/arch.py): "vanilla" conv U-Net, the "swin"
     # transformer ablation (the reference's train_outc_model instantiates
@@ -256,6 +260,8 @@ def train(config: Zy3Config, train_ds: ArrayDataset, test_ds: ArrayDataset,
 
     history = {"loss": [], "eval": {}}
     mark = datehour_mark()
+    from onet_tpu.train.preempt import PreemptGuard
+    guard = PreemptGuard(config.preempt_save).install()
     for epoch in range(start_epoch, config.epoch_nums):
         lr = cosine_warm_restarts(config.base_lr, epoch, t0=config.t0,
                                   t_mult=config.t_mult, eta_min=config.eta_min)
@@ -269,6 +275,25 @@ def train(config: Zy3Config, train_ds: ArrayDataset, test_ds: ArrayDataset,
             params, bn_state, opt_state, loss = train_step(
                 params, bn_state, opt_state, x, lr)
             losses.append(loss)
+            if guard.triggered:
+                break
+        if guard.triggered:
+            # drain: checkpoint with the interrupted epoch recorded as
+            # NOT done; restart_from=<path> redoes it in full
+            path = os.path.join(
+                config.out_root,
+                f"{config.model_name}_preempt{max(epoch - 1, 0)}"
+                f"_{mark}.npz")
+            from onet_tpu.models.arch import arch_meta
+            save_checkpoint(path, params, bn_state, epoch - 1,
+                            opt_state=opt_state, meta=arch_meta(config))
+            history["preempted"] = epoch
+            msg = (f"SIGTERM: preempted at epoch {epoch}; checkpoint "
+                   f"saved -> {path} (pass restart_from to continue)")
+            if log:
+                print(msg)
+                logging.warning(msg)
+            break
         loss_epoch = float(jnp.mean(jnp.stack(losses)))
         history["loss"].append(loss_epoch)
 
@@ -291,6 +316,7 @@ def train(config: Zy3Config, train_ds: ArrayDataset, test_ds: ArrayDataset,
             if log:
                 logging.info("Saved checkpoint: %s", path)
 
+    guard.restore()
     if log:
         from onet_tpu.report.curves import save_training_curves
 

@@ -18,6 +18,50 @@ import time
 
 import numpy as np
 
+def test_zy3_sigterm_in_process(tmp_path, monkeypatch):
+    """The zy3 driver drains SIGTERM too: the signal lands mid-run (sent
+    to ourselves from the per-epoch lr hook — delivered at the next
+    bytecode boundary in this same main thread), the driver checkpoints
+    with the interrupted epoch NOT recorded, and restart_from redoes it."""
+    import jax
+
+    import onet_tpu.train.zy3 as Z
+    from onet_tpu.data.arrays import ArrayDataset
+
+    rng = np.random.default_rng(1)
+    imgs = rng.uniform(0, 1, (6, 32, 32, 3)).astype(np.float32)
+    labels = (imgs.mean(-1) > 0.6).astype(np.int32)
+    ds = ArrayDataset({"imgs": imgs, "labels": labels})
+
+    real_lr = Z.cosine_warm_restarts
+
+    def lr_hook(base, epoch, **kw):
+        if epoch == 2:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return real_lr(base, epoch, **kw)
+
+    monkeypatch.setattr(Z, "cosine_warm_restarts", lr_hook)
+    cfg = Z.Zy3Config(epoch_nums=50, batch_sz=3, base_channels=8,
+                      in_channels=3, out_root=str(tmp_path),
+                      model_name="z", save_epochs=())
+    _, _, hist = Z.train(cfg, ds, ds, log=False)
+    assert hist["preempted"] == 2
+    assert len(hist["loss"]) == 2            # epochs 0 and 1 completed
+    saved = glob.glob(os.path.join(str(tmp_path), "z_preempt1_*.npz"))
+    assert saved, "zy3 preemption wrote no checkpoint"
+    assert int(np.load(saved[0])["__epoch__"]) == 1
+
+    # restart redoes epoch 2 and finishes
+    monkeypatch.setattr(Z, "cosine_warm_restarts", real_lr)
+    cfg2 = Z.Zy3Config(epoch_nums=4, batch_sz=3, base_channels=8,
+                       in_channels=3, out_root=str(tmp_path),
+                       model_name="z", save_epochs=(),
+                       restart_from=saved[0])
+    _, _, hist2 = Z.train(cfg2, ds, ds, log=False)
+    assert "preempted" not in hist2
+    assert len(hist2["loss"]) == 2           # epochs 2 and 3
+
+
 def test_sigterm_checkpoints_and_resume(tmp_path):
     out_root = str(tmp_path / "out")
     marker = str(tmp_path / "ready")
