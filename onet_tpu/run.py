@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
                                 "zy3_cloud_thumbnailv5_20240304.py:262-309)")
             p.add_argument("--n-train", type=int, default=64)
             p.add_argument("--n-test", type=int, default=16)
+            p.add_argument("--restart-from", default=None, metavar="CKPT",
+                           help="continue training from this checkpoint "
+                                "(the reference's restart semantics, "
+                                "Train_Onet_on_zy3_20240606.py:77-82; "
+                                "`restart: True` + `model_file:` in the "
+                                "YAML does the same)")
             p.add_argument("--dp", type=int, default=0,
                            help="data-parallel training over N devices "
                                 "(same mesh semantics as simclutter --dp; "
@@ -189,6 +195,13 @@ def build_parser() -> argparse.ArgumentParser:
                                 "block grid). Composes with --dp N (needs "
                                 "N*R*C devices); input size must divide "
                                 "16*R (and 16*C). Exclusive with --pp")
+            p.add_argument("--resume", action="store_true",
+                           help="auto-resume from the newest checkpoint "
+                                "under out_root (params, BN state, Adam "
+                                "moments, epoch; `restart: True` in the "
+                                "YAML does the same). Composes with the "
+                                "SIGTERM preemption drain: a preempted "
+                                "run continues where it stopped")
             p.add_argument("--no-weight-share", dest="weight_share",
                            action="store_false", default=True,
                            help="train the twin-weights variant (separate "
@@ -913,6 +926,9 @@ def main(argv=None):
             out_root=args.out_root or cfg_yaml.out_root,
             base_channels=args.base_channels,
             quantized=args.int8_train,
+            # --resume or the YAML's reference-schema `restart:` key
+            resume=bool(args.resume
+                        or getattr(cfg_yaml, "restart", False)),
             weight_share=args.weight_share,
             arch=args.arch,
             swin_window=args.swin_window,
@@ -926,6 +942,9 @@ def main(argv=None):
             cfg.model_name += f"_{args.arch}"
         if args.loss != "jsd":
             cfg.model_name += f"_{args.loss}"
+        if cfg.resume:
+            print("[simclutter] resume: newest checkpoint under "
+                  f"{cfg.out_root} (if any)")
         mesh = None
         pp_microbatches = None
         spatial = False
@@ -1036,6 +1055,13 @@ def main(argv=None):
             base_lr=float(getattr(cfg_yaml, "base_lr", 1e-4)),
             out_root=args.out_root or cfg_yaml.out_root,
             base_channels=args.base_channels,
+            # --restart-from, or the reference's YAML semantics:
+            # restart: True reloads model_file
+            # (Train_Onet_on_zy3_20240606.py:77-82)
+            restart_from=(args.restart_from
+                          or (getattr(cfg_yaml, "model_file", "")
+                              if getattr(cfg_yaml, "restart", False)
+                              else None) or None),
             arch=args.arch,
             swin_window=args.swin_window,
             swin_embed=args.swin_embed,

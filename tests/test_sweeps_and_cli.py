@@ -196,6 +196,62 @@ def test_cli_zy3_dp_mesh(tmp_path, capsys, monkeypatch):
     assert "===Epoch" in out
 
 
+def test_cli_zy3_restart_from(tmp_path, capsys, monkeypatch):
+    """`zy3 --restart-from ck` continues the reference's restart
+    semantics (Train_Onet_on_zy3_20240606.py:77-82): epoch numbering
+    resumes after the checkpoint's epoch."""
+    import glob
+
+    from onet_tpu import run as cli
+    import onet_tpu.data.zy3 as Z
+
+    real = Z.synthesize_zy3
+    monkeypatch.setattr(
+        "onet_tpu.data.zy3.synthesize_zy3",
+        lambda key, n=16, **kw: real(key, n=6, size=32))
+    cli.main(["zy3", "--epochs", "2", "--batch-sz", "3",
+              "--base-channels", "8", "--fp32",
+              "--out-root", str(tmp_path)])
+    ck = glob.glob(os.path.join(str(tmp_path), "*epoch1*.npz"))
+    assert ck, "first run saved no final checkpoint"
+    capsys.readouterr()
+    cli.main(["zy3", "--epochs", "4", "--batch-sz", "3",
+              "--base-channels", "8", "--fp32",
+              "--out-root", str(tmp_path), "--restart-from", ck[0]])
+    out = capsys.readouterr().out
+    assert "Epoch: 0002" in out and "Epoch: 0003" in out
+    assert "Epoch: 0000" not in out    # did NOT retrain from scratch
+
+
+def test_cli_simclutter_resume_flag(tmp_path, capsys, monkeypatch):
+    """`simclutter --resume` auto-resumes from the newest checkpoint
+    under out_root (and the YAML's reference-schema `restart:` key maps
+    to the same surface)."""
+    import glob
+
+    import onet_tpu.data.simclutter as S
+    from onet_tpu import run as cli
+    from onet_tpu.data.arrays import ArrayDataset
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (8, 32, 32, 1)).astype(np.float32)
+    labels = (imgs[..., 0] > 0.8).astype(np.int32)
+    ds = ArrayDataset({"imgs": imgs, "labels": labels})
+    monkeypatch.setattr(S, "simclutter_datasets",
+                        lambda *a, **kw: (ds, ds))
+    monkeypatch.setattr("onet_tpu.train.simclutter.simclutter_datasets",
+                        lambda *a, **kw: (ds, ds))
+    base = ["simclutter", "--batch-sz", "4", "--base-channels", "8",
+            "--fp32", "--out-root", str(tmp_path)]
+    cli.main(base + ["--epochs", "2"])
+    assert glob.glob(os.path.join(str(tmp_path), "*epoch_1*.npz"))
+    cli.main(base + ["--epochs", "4", "--resume"])
+    assert "resume: newest checkpoint" in capsys.readouterr().out
+    # the resumed run logged its resume point into the run log
+    logs = glob.glob(os.path.join(str(tmp_path), "*.log"))
+    assert any("Resumed from" in open(p).read() for p in logs), logs
+
+
 def test_cli_serve_detector_far_budget(tmp_path, capsys):
     """serve --far-budget emits THRESHOLDED detection masks with the
     calibrated threshold stored next to the checkpoint (the low-SNR
