@@ -64,3 +64,18 @@ def test_train_verify_serve_chain(tmp_path, capsys, monkeypatch):
         assert masks.shape == (8, 32, 32)
         # far budget respected on the calibration distribution (loose 2x)
         assert masks.mean() <= 2 * 0.05 + labels.mean()
+
+    # --- deploy: export the trained model as an AOT artifact and serve
+    # it with zero model code; masks match checkpoint serving exactly ---
+    cli.main(["export-artifact", "--model", final[0], "--input-sz", "32",
+              "--platforms", "cpu", "--fp32"])
+    art = os.path.splitext(final[0])[0] + ".onetx"
+    assert os.path.exists(art)
+    for tag, model in (("ck", final[0]), ("art", art)):
+        cli.main(["serve", "--model", model,
+                  "--input", str(tmp_path / "frames.npz"),
+                  "--out", str(tmp_path / f"dep_{tag}.npz"),
+                  "--fp32", "--serve-batch", "4"])
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "dep_ck.npz")["masks"],
+        np.load(tmp_path / "dep_art.npz")["masks"])
