@@ -50,6 +50,8 @@ def baseline_training_loop(config, params, state, opt_state, train_step,
         setup_logging(config.out_root, config.model_name)
 
     history = {"loss": [], "eval": {}}
+    from onet_tpu.train.preempt import PreemptGuard
+    guard = PreemptGuard().install()
     for epoch in range(config.epoch_nums):
         lr = step_decay(config.base_lr, epoch, every=config.lr_decay_every,
                         factor=config.lr_decay)
@@ -62,6 +64,24 @@ def baseline_training_loop(config, params, state, opt_state, train_step,
             params, state, opt_state, loss = train_step(
                 params, state, opt_state, batch["imgs"], *args, lr)
             losses.append(loss)
+            if guard.triggered:
+                break
+        if guard.triggered:
+            # drain like the main drivers (train/preempt.py): checkpoint
+            # with the interrupted epoch NOT recorded, return cleanly
+            path = os.path.join(
+                config.out_root,
+                f"{config.model_name}_preempt{max(epoch - 1, 0)}"
+                f"_{datehour_mark()}.npz")
+            save_checkpoint(path, params, state, epoch - 1, opt_state)
+            history["preempted"] = epoch
+            if log:
+                msg = (f"SIGTERM: preempted at epoch {epoch}; "
+                       f"checkpoint saved -> {path}")
+                print(msg)
+                logging.warning(msg)
+            guard.restore()
+            return params, state, history
         loss_epoch = float(jnp.mean(jnp.stack(losses)))
         history["loss"].append(loss_epoch)
         if epoch % config.eval_every == 0 or epoch == config.epoch_nums - 1:
@@ -74,6 +94,7 @@ def baseline_training_loop(config, params, state, opt_state, train_step,
                 print(line)
                 logging.info(line)
 
+    guard.restore()
     path = os.path.join(
         config.out_root,
         f"{config.model_name}_{datehour_mark()}_epoch_"

@@ -62,6 +62,41 @@ def test_zy3_sigterm_in_process(tmp_path, monkeypatch):
     assert len(hist2["loss"]) == 2           # epochs 2 and 3
 
 
+def test_baseline_loop_sigterm_in_process(tmp_path, monkeypatch):
+    """The shared baseline trainer (infoseg/iic) drains SIGTERM too."""
+    import jax
+
+    import onet_tpu.train.baseline as B
+    from onet_tpu.data.arrays import ArrayDataset
+    from onet_tpu.train.infoseg import (
+        InfoSegConfig, make_infoseg_eval_step, make_infoseg_train_step)
+    from onet_tpu.models.infoseg import infoseg_init
+
+    rng = np.random.default_rng(2)
+    imgs = rng.uniform(0, 1, (6, 32, 32, 1)).astype(np.float32)
+    labels = (imgs[..., 0] > 0.8).astype(np.int32)
+    ds = ArrayDataset({"imgs": imgs, "labels": labels})
+
+    real_lr = B.step_decay
+
+    def lr_hook(base, epoch, **kw):
+        if epoch == 2:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return real_lr(base, epoch, **kw)
+
+    monkeypatch.setattr(B, "step_decay", lr_hook)
+    cfg = InfoSegConfig(epoch_nums=50, batch_sz=3, out_root=str(tmp_path),
+                        model_name="isg", eval_every=100)
+    params, state = infoseg_init(jax.random.key(0), 1, base=8)
+    from onet_tpu.train.optim import adam_init
+    _, _, hist = B.baseline_training_loop(
+        cfg, params, state, adam_init(params),
+        make_infoseg_train_step(), make_infoseg_eval_step(),
+        ds, ds, jax.random.key(1), log=False)
+    assert hist["preempted"] == 2
+    assert glob.glob(os.path.join(str(tmp_path), "isg_preempt1_*.npz"))
+
+
 def test_sigterm_checkpoints_and_resume(tmp_path):
     out_root = str(tmp_path / "out")
     marker = str(tmp_path / "ready")
