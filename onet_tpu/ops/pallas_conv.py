@@ -66,10 +66,36 @@ L = 2 * C       # packed lane count
 # 6.70/6.43/6.30 ms vs XLA block-diagonal 5.31 ms (RESULTS.md round 3),
 # so bigger blocks help the kernel ~6% but do not flip the A/B.
 import os as _os
-RBLK = int(_os.environ.get("ONET_WP_RBLK", "16"))
-if RBLK < 1 or RBLK & (RBLK - 1):
-    raise ValueError(f"ONET_WP_RBLK={RBLK}: must be a positive power of "
-                     "two (row-block sizes halve until they divide H)")
+
+# Largest measured-safe row block: rblk=64 needs ~43 MB scoped VMEM (fits
+# the raised 100 MB cap in _cparams); 128 would exceed it at the 512^2
+# sites. Values above are rejected rather than silently clamped.
+_RBLK_MAX = 64
+_RBLK_CACHE: list = []
+
+
+def _rblk() -> int:
+    """Row-block size for the differentiable wrappers, from ONET_WP_RBLK.
+
+    Parsed lazily (first kernel call, not import) so a malformed value
+    can't break `import onet_tpu.*` for CLI paths that never touch the
+    Pallas kernels (advisor round-3 finding)."""
+    if _RBLK_CACHE:
+        return _RBLK_CACHE[0]
+    raw = _os.environ.get("ONET_WP_RBLK", "16")
+    try:
+        rblk = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"ONET_WP_RBLK={raw!r}: not an integer (expected a positive "
+            f"power of two <= {_RBLK_MAX})") from None
+    if rblk < 1 or rblk & (rblk - 1) or rblk > _RBLK_MAX:
+        raise ValueError(
+            f"ONET_WP_RBLK={rblk}: must be a positive power of two "
+            f"<= {_RBLK_MAX} (row-block sizes halve until they divide H; "
+            f"blocks above {_RBLK_MAX} exceed the scoped-VMEM cap)")
+    _RBLK_CACHE.append(rblk)
+    return rblk
 
 
 # ---------------------------------------------------------------------------
@@ -535,7 +561,7 @@ def conv3x3_wp(x, w):
     both of which stop gradients); the VJP ignores them.
     """
     wc, we = make_wc_we(w, dtype=x.dtype)
-    return conv3x3_wp_raw(x, wc, we, stats=True, rblk=RBLK,
+    return conv3x3_wp_raw(x, wc, we, stats=True, rblk=_rblk(),
                           interpret=INTERPRET)
 
 
@@ -549,9 +575,9 @@ def _conv_wp_bwd(res, cts):
     dy, _ds1, _ds2 = cts
     dy = dy.astype(x.dtype)
     wtc, wte = make_wc_we(flip_transpose(w), dtype=x.dtype)
-    dx = conv3x3_wp_raw(dy, wtc, wte, stats=False, rblk=RBLK,
+    dx = conv3x3_wp_raw(dy, wtc, wte, stats=False, rblk=_rblk(),
                         interpret=INTERPRET)
-    dw = conv3x3_wp_dw(x, dy, rblk=RBLK,
+    dw = conv3x3_wp_dw(x, dy, rblk=_rblk(),
                        interpret=INTERPRET).astype(w.dtype)
     return dx, dw
 
@@ -570,7 +596,7 @@ def conv3x3_wp2(xa, xb, wa, wb):
     wca, wea = make_wc_we(wa, dtype=dt)
     wcb, web = make_wc_we(wb, dtype=dt)
     return conv3x3_wp2_raw(xa, xb, wca, wea, wcb, web, stats=True,
-                           rblk=RBLK, interpret=INTERPRET)
+                           rblk=_rblk(), interpret=INTERPRET)
 
 
 def _conv_wp2_fwd(xa, xb, wa, wb):
@@ -583,13 +609,13 @@ def _conv_wp2_bwd(res, cts):
     dy = dy.astype(xa.dtype)
     wtca, wtea = make_wc_we(flip_transpose(wa), dtype=dy.dtype)
     wtcb, wteb = make_wc_we(flip_transpose(wb), dtype=dy.dtype)
-    dxa = conv3x3_wp_raw(dy, wtca, wtea, stats=False, rblk=RBLK,
+    dxa = conv3x3_wp_raw(dy, wtca, wtea, stats=False, rblk=_rblk(),
                          interpret=INTERPRET)
-    dxb = conv3x3_wp_raw(dy, wtcb, wteb, stats=False, rblk=RBLK,
+    dxb = conv3x3_wp_raw(dy, wtcb, wteb, stats=False, rblk=_rblk(),
                          interpret=INTERPRET)
-    dwa = conv3x3_wp_dw(xa, dy, rblk=RBLK,
+    dwa = conv3x3_wp_dw(xa, dy, rblk=_rblk(),
                         interpret=INTERPRET).astype(wa.dtype)
-    dwb = conv3x3_wp_dw(xb, dy, rblk=RBLK,
+    dwb = conv3x3_wp_dw(xb, dy, rblk=_rblk(),
                         interpret=INTERPRET).astype(wb.dtype)
     return dxa, dxb, dwa, dwb
 

@@ -3,8 +3,9 @@
 Reference equivalents: the loss/metric curve figures
 (Train_Onet_on_simclutter_20250407.py:269-284, Train_Onet_on_zy3_20240606
 .py:155-167) and the full figure suite of utils_20231218.py:479-659:
-show_unet_adversarial_v2 (save_result_grid), show_onet_img
-(save_tensor_matrix), show_nau_rain (save_nau_rain_grid),
+show_segmentation (save_segmentation_grid), show_unet_adversarial
+(save_adversarial_grid), show_unet_adversarial_v2 (save_result_grid),
+show_onet_img (save_tensor_matrix), show_nau_rain (save_nau_rain_grid),
 show_unet_2ndstage_test (save_two_stage_grid), show_nau_train_result
 (save_loss_acc_curves) — plus draw_test_res's epoch+metric-named 5x5
 grids (uti_zy3_test_20240123.py:42-97, save_test_res_grids).
@@ -72,6 +73,57 @@ def save_result_grid(path: str, x: np.ndarray, pred_t: np.ndarray,
     fig.savefig(path, dpi=80)
     plt.close(fig)
     return path
+
+def save_segmentation_grid(path: str, x: np.ndarray, pred: np.ndarray,
+                           label: np.ndarray, title: str = ""):
+    """src/gt/pred column grid — the v1 show_segmentation layout
+    (utils_20231218.py:479-533): one row per input channel (rgb images
+    collapse to a single color row), then ground truth, then prediction;
+    up to 5 columns, no tick labels."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    x = np.asarray(x)
+    n = min(5, x.shape[0])
+    rgb = x.ndim == 4 and x.shape[-1] == 3
+    chn_rows = 1 if (rgb or x.ndim == 3) else x.shape[-1]
+    rows = chn_rows + 2
+    fig, axs = plt.subplots(rows, n, figsize=(2 * n, 2 * rows),
+                            squeeze=False,
+                            gridspec_kw={"wspace": 0, "hspace": 0})
+    for c in range(n):
+        if rgb or x.ndim == 3:
+            _imshow(axs[0][c], x[c])
+        else:
+            for ch in range(chn_rows):
+                _imshow(axs[ch][c], x[c][..., ch])
+        _imshow(axs[chn_rows][c], np.asarray(label)[c])
+        _imshow(axs[chn_rows + 1][c], np.asarray(pred)[c])
+    fig.suptitle(f"src_gt_pred_{title}" if title else "src_gt_pred")
+    fig.savefig(path, bbox_inches="tight", dpi=80)
+    plt.close(fig)
+    return path
+
+
+def save_adversarial_grid(path: str, x: np.ndarray, pred_t: np.ndarray,
+                          pred_d: np.ndarray, label: np.ndarray,
+                          title: str = ""):
+    """4-row grid: input / GT / top prediction / down prediction — the v1
+    show_unet_adversarial layout (utils_20231218.py:534-552; the v2
+    5-row variant with the fused argmax is save_result_grid)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    n = min(4, np.asarray(x).shape[0])
+    rows = [x, label, pred_t, pred_d]
+    fig, axs = plt.subplots(4, n, figsize=(8, 8), squeeze=False,
+                            gridspec_kw={"wspace": 0, "hspace": 0})
+    for r, arr in enumerate(rows):
+        arr = np.asarray(arr)
+        for c in range(n):
+            _imshow(axs[r][c], arr[c])
+    fig.suptitle(f"src_gt_predTop_predDown_{title}" if title
+                 else "src_gt_predTop_predDown")
+    fig.savefig(path, bbox_inches="tight", dpi=80)
+    plt.close(fig)
+    return path
+
 
 def _imshow(ax, img):
     img = np.asarray(img)

@@ -22,6 +22,21 @@ import os
 import numpy as np
 
 
+def _parse_sp(spec: str) -> tuple:
+    """Parse --sp 'R' or 'RxC' into (rows, cols), SystemExit on malformed
+    input ('two', '2x2x2', '0x3', ...) to match the clean CLI-validation
+    style of the neighboring device-count checks."""
+    import re
+    m = re.fullmatch(r"(\d+)(?:x(\d+)?)?", spec.strip())
+    if not m:
+        raise SystemExit(f"--sp {spec!r}: expected ROWS or ROWSxCOLS "
+                         "(positive integers, e.g. --sp 2 or --sp 2x2)")
+    rows, cols = int(m.group(1)), int(m.group(2) or 1)
+    if rows < 1 or cols < 1:
+        raise SystemExit(f"--sp {spec!r}: rows/cols must be >= 1")
+    return rows, cols
+
+
 def _add_common(p):
     p.add_argument("--config", default=os.path.join(
         os.path.dirname(__file__), "configs", "onet.yml"))
@@ -484,6 +499,11 @@ def main(argv=None):
             if args.out.endswith(".pt"):
                 from onet_tpu.data.export import export_zy3_pt
                 written = export_zy3_pt(args.out, ds, ids)
+            elif args.out.endswith(".ts"):
+                from onet_tpu.data.tilestore import save_store
+                written = save_store(args.out,
+                                     {"imgs": np.asarray(ds["imgs"]),
+                                      "labels": np.asarray(ds["labels"])})
             else:
                 np.savez(args.out, imgs=np.asarray(ds["imgs"]),
                          labels=np.asarray(ds["labels"]))
@@ -497,6 +517,11 @@ def main(argv=None):
             if args.out.endswith(".pt"):
                 from onet_tpu.data.export import export_nau_pt
                 written = export_nau_pt(args.out, ds, ids)
+            elif args.out.endswith(".ts"):
+                from onet_tpu.data.tilestore import save_store
+                written = save_store(args.out,
+                                     {"imgs": np.asarray(ds["imgs"]),
+                                      "labels": np.asarray(ds["labels"])})
             else:
                 np.savez(args.out, imgs=np.asarray(ds["imgs"]),
                          labels=np.asarray(ds["labels"]))
@@ -953,8 +978,7 @@ def main(argv=None):
                 raise SystemExit("--sp and --pp are exclusive")
             from onet_tpu.core.mesh import (DATA_AXIS, SPACE_AXIS,
                                             SPACEW_AXIS, make_mesh)
-            rows, _, cols = args.sp.partition("x")
-            rows, cols = int(rows), int(cols or 1)
+            rows, cols = _parse_sp(args.sp)
             data = args.dp or 1
             need = data * rows * cols
             devs = jax.devices()

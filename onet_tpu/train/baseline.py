@@ -52,54 +52,55 @@ def baseline_training_loop(config, params, state, opt_state, train_step,
     history = {"loss": [], "eval": {}}
     from onet_tpu.train.preempt import PreemptGuard
     guard = PreemptGuard().install()
-    for epoch in range(config.epoch_nums):
-        lr = step_decay(config.base_lr, epoch, every=config.lr_decay_every,
-                        factor=config.lr_decay)
-        losses = []
-        ek = jax.random.fold_in(k_loop, epoch)
-        for bi, batch in enumerate(batch_iterator(
-                train_ds, config.batch_sz, key=ek, drop_last=True)):
-            args = ((jax.random.fold_in(ek, bi),)
-                    if step_takes_key else ())
-            params, state, opt_state, loss = train_step(
-                params, state, opt_state, batch["imgs"], *args, lr)
-            losses.append(loss)
+    try:
+        for epoch in range(config.epoch_nums):
+            lr = step_decay(config.base_lr, epoch, every=config.lr_decay_every,
+                            factor=config.lr_decay)
+            losses = []
+            ek = jax.random.fold_in(k_loop, epoch)
+            for bi, batch in enumerate(batch_iterator(
+                    train_ds, config.batch_sz, key=ek, drop_last=True)):
+                args = ((jax.random.fold_in(ek, bi),)
+                        if step_takes_key else ())
+                params, state, opt_state, loss = train_step(
+                    params, state, opt_state, batch["imgs"], *args, lr)
+                losses.append(loss)
+                if guard.triggered:
+                    break
             if guard.triggered:
-                break
-        if guard.triggered:
-            # drain like the main drivers (train/preempt.py): checkpoint
-            # with the interrupted epoch NOT recorded, return cleanly
-            path = os.path.join(
-                config.out_root,
-                f"{config.model_name}_preempt{max(epoch - 1, 0)}"
-                f"_{datehour_mark()}.npz")
-            save_checkpoint(path, params, state, epoch - 1, opt_state)
-            history["preempted"] = epoch
-            if log:
-                msg = (f"SIGTERM: preempted at epoch {epoch}; "
-                       f"checkpoint saved -> {path}")
-                print(msg)
-                logging.warning(msg)
-            guard.restore()
-            return params, state, history
-        loss_epoch = float(jnp.mean(jnp.stack(losses)))
-        history["loss"].append(loss_epoch)
-        if epoch % config.eval_every == 0 or epoch == config.epoch_nums - 1:
-            metrics = evaluate(eval_step, params, state, test_ds,
-                               config.batch_sz)
-            history["eval"][epoch] = metrics
-            if log:
-                line = epoch_log_line(config.model_name, epoch, loss_epoch,
-                                      lr, metrics)
-                print(line)
-                logging.info(line)
+                # drain like the main drivers (train/preempt.py): checkpoint
+                # with the interrupted epoch NOT recorded, return cleanly
+                path = os.path.join(
+                    config.out_root,
+                    f"{config.model_name}_preempt{max(epoch - 1, 0)}"
+                    f"_{datehour_mark()}.npz")
+                save_checkpoint(path, params, state, epoch - 1, opt_state)
+                history["preempted"] = epoch
+                if log:
+                    msg = (f"SIGTERM: preempted at epoch {epoch}; "
+                           f"checkpoint saved -> {path}")
+                    print(msg)
+                    logging.warning(msg)
+                return params, state, history
+            loss_epoch = float(jnp.mean(jnp.stack(losses)))
+            history["loss"].append(loss_epoch)
+            if epoch % config.eval_every == 0 or epoch == config.epoch_nums - 1:
+                metrics = evaluate(eval_step, params, state, test_ds,
+                                   config.batch_sz)
+                history["eval"][epoch] = metrics
+                if log:
+                    line = epoch_log_line(config.model_name, epoch, loss_epoch,
+                                          lr, metrics)
+                    print(line)
+                    logging.info(line)
 
-    guard.restore()
-    path = os.path.join(
-        config.out_root,
-        f"{config.model_name}_{datehour_mark()}_epoch_"
-        f"{config.epoch_nums - 1}.npz")
-    save_checkpoint(path, params, state, config.epoch_nums - 1, opt_state)
-    if log:
-        print(f"[{tag}] checkpoint: {path}")
-    return params, state, history
+        path = os.path.join(
+            config.out_root,
+            f"{config.model_name}_{datehour_mark()}_epoch_"
+            f"{config.epoch_nums - 1}.npz")
+        save_checkpoint(path, params, state, config.epoch_nums - 1, opt_state)
+        if log:
+            print(f"[{tag}] checkpoint: {path}")
+        return params, state, history
+    finally:
+        guard.restore()

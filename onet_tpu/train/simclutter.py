@@ -214,110 +214,113 @@ def train(config: SimclutterConfig = SimclutterConfig(), *,
     mark = datehour_mark()
     writer = AsyncCheckpointWriter()
     # preemption guard: SIGTERM sets a flag; the loop drains the current
-    # step, checkpoints, and returns (train/preempt.py). Restored after
-    # the loop; if an exception escapes instead, the process is dying
-    # anyway and a stale flag-setting handler is inert.
+    # step, checkpoints, and returns (train/preempt.py). try/finally so an
+    # exception escaping the loop still restores the previous handler —
+    # long-lived in-process callers (sweeps, test suites) otherwise keep a
+    # dead guard's flag-setter installed (advisor round-3 finding).
     guard = PreemptGuard(config.preempt_save).install()
-    start_epoch = 0
-    if config.resume:
-        ck = latest_checkpoint(config.out_root)
-        if ck:
-            params, bn_state, last, opt_loaded = load_checkpoint(
-                ck, params, bn_state, opt_template=opt_state)
-            start_epoch = last + 1
-            if opt_loaded is not None:
-                opt_state = opt_loaded
-            elif log:
-                logging.warning(
-                    "Checkpoint %s has no optimizer state; Adam moments "
-                    "and step count restart from zero", ck)
-            if log:
-                logging.info("Resumed from %s (epoch %d)", ck, last)
-    for epoch in range(start_epoch, config.epoch_nums):
-        lr = step_decay(config.base_lr, epoch, every=config.lr_decay_every,
-                        factor=config.lr_decay)
-        losses = []
-        ek = jax.random.fold_in(k_loop, epoch)
-        for bi, batch in enumerate(batch_iterator(train_ds, config.batch_sz,
-                                                  key=ek)):
-            x = batch["imgs"]
-            if pipeline_microbatches:
-                # GPipe needs full microbatches: drop the ragged tail
-                # (shuffled each epoch, so no frame is systematically lost)
-                div = pipeline_microbatches * int(mesh.shape["data"])
-                if x.shape[0] % div:
-                    continue
-            if config.aug:
-                from onet_tpu.data.augment import simclutter_pixel_augment
-                x = simclutter_pixel_augment(jax.random.fold_in(ek, bi), x)
-            params, bn_state, opt_state, loss = train_step(
-                params, bn_state, opt_state, x, lr)
-            losses.append(loss)
+    try:
+        start_epoch = 0
+        if config.resume:
+            ck = latest_checkpoint(config.out_root)
+            if ck:
+                params, bn_state, last, opt_loaded = load_checkpoint(
+                    ck, params, bn_state, opt_template=opt_state)
+                start_epoch = last + 1
+                if opt_loaded is not None:
+                    opt_state = opt_loaded
+                elif log:
+                    logging.warning(
+                        "Checkpoint %s has no optimizer state; Adam moments "
+                        "and step count restart from zero", ck)
+                if log:
+                    logging.info("Resumed from %s (epoch %d)", ck, last)
+        for epoch in range(start_epoch, config.epoch_nums):
+            lr = step_decay(config.base_lr, epoch, every=config.lr_decay_every,
+                            factor=config.lr_decay)
+            losses = []
+            ek = jax.random.fold_in(k_loop, epoch)
+            for bi, batch in enumerate(batch_iterator(train_ds, config.batch_sz,
+                                                      key=ek)):
+                x = batch["imgs"]
+                if pipeline_microbatches:
+                    # GPipe needs full microbatches: drop the ragged tail
+                    # (shuffled each epoch, so no frame is systematically lost)
+                    div = pipeline_microbatches * int(mesh.shape["data"])
+                    if x.shape[0] % div:
+                        continue
+                if config.aug:
+                    from onet_tpu.data.augment import simclutter_pixel_augment
+                    x = simclutter_pixel_augment(jax.random.fold_in(ek, bi), x)
+                params, bn_state, opt_state, loss = train_step(
+                    params, bn_state, opt_state, x, lr)
+                losses.append(loss)
+                if guard.triggered:
+                    break
             if guard.triggered:
+                # drain: checkpoint into the autosave namespace (auto-resume
+                # finds it; rotation keeps it inside autosave_keep). The
+                # interrupted epoch is recorded as NOT done (epoch - 1), so
+                # resume redoes it in full — exactness over wall time.
+                path = os.path.join(
+                    config.out_root,
+                    f"{config.model_name}_autosave_{max(epoch - 1, 0)}"
+                    f"_{mark}.npz")
+                from onet_tpu.models.arch import arch_meta
+                writer.save(path, params, bn_state, epoch - 1,
+                            opt_state=opt_state, meta=arch_meta(config))
+                history["preempted"] = epoch
+                msg = (f"SIGTERM: preempted at epoch {epoch}; checkpoint "
+                       f"saved -> {path} (resume=True continues)")
+                if log:
+                    print(msg)
+                    logging.warning(msg)
                 break
-        if guard.triggered:
-            # drain: checkpoint into the autosave namespace (auto-resume
-            # finds it; rotation keeps it inside autosave_keep). The
-            # interrupted epoch is recorded as NOT done (epoch - 1), so
-            # resume redoes it in full — exactness over wall time.
-            path = os.path.join(
-                config.out_root,
-                f"{config.model_name}_autosave_{max(epoch - 1, 0)}"
-                f"_{mark}.npz")
-            from onet_tpu.models.arch import arch_meta
-            writer.save(path, params, bn_state, epoch - 1,
-                        opt_state=opt_state, meta=arch_meta(config))
-            history["preempted"] = epoch
-            msg = (f"SIGTERM: preempted at epoch {epoch}; checkpoint "
-                   f"saved -> {path} (resume=True continues)")
-            if log:
-                print(msg)
-                logging.warning(msg)
-            break
-        if not losses:
-            raise ValueError(
-                f"every batch was dropped: no batch of {config.batch_sz} "
-                "divides into the pipeline's microbatches x data shards")
-        loss_epoch = float(jnp.mean(jnp.stack(losses)))
-        history["loss"].append(loss_epoch)
+            if not losses:
+                raise ValueError(
+                    f"every batch was dropped: no batch of {config.batch_sz} "
+                    "divides into the pipeline's microbatches x data shards")
+            loss_epoch = float(jnp.mean(jnp.stack(losses)))
+            history["loss"].append(loss_epoch)
 
-        if epoch % config.eval_every == 0 or epoch == config.epoch_nums - 1:
-            metrics = evaluate(eval_step, params, bn_state, test_ds,
-                               config.batch_sz)
-            history["eval"][epoch] = metrics
-            line = epoch_log_line(config.model_name, epoch, loss_epoch, lr,
-                                  metrics)
-            if log:
-                print(line)
-                logging.info(line)
-            if progress_cb:
-                progress_cb(epoch, loss_epoch, metrics)
+            if epoch % config.eval_every == 0 or epoch == config.epoch_nums - 1:
+                metrics = evaluate(eval_step, params, bn_state, test_ds,
+                                   config.batch_sz)
+                history["eval"][epoch] = metrics
+                line = epoch_log_line(config.model_name, epoch, loss_epoch, lr,
+                                      metrics)
+                if log:
+                    print(line)
+                    logging.info(line)
+                if progress_cb:
+                    progress_cb(epoch, loss_epoch, metrics)
 
-        autosave = (config.autosave_every
-                    and epoch % config.autosave_every == 0)
-        milestone = (epoch == config.epoch_nums - 1
-                     or epoch in config.save_epochs)
-        if milestone or autosave:
-            # autosaves live in their own filename namespace so rotation can
-            # never delete milestone/final checkpoints (or another model's)
-            tag = "epoch" if milestone else "autosave"
-            path = os.path.join(
-                config.out_root,
-                f"{config.model_name}_{tag}_{epoch}_{mark}.npz")
-            from onet_tpu.models.arch import arch_meta
-            # async: the host snapshot is synchronous (donated buffers),
-            # the npz write + autosave rotation overlap the next epochs;
-            # writer.wait() below surfaces any IO error before return
-            writer.save(path, params, bn_state, epoch,
-                        opt_state=opt_state, meta=arch_meta(config),
-                        rotate=None if milestone else (
-                            config.out_root, config.autosave_keep,
-                            f"{config.model_name}_autosave_*.npz"))
-            if log:
-                logging.info("Saved checkpoint at epoch %d: %s", epoch, path)
+            autosave = (config.autosave_every
+                        and epoch % config.autosave_every == 0)
+            milestone = (epoch == config.epoch_nums - 1
+                         or epoch in config.save_epochs)
+            if milestone or autosave:
+                # autosaves live in their own filename namespace so rotation can
+                # never delete milestone/final checkpoints (or another model's)
+                tag = "epoch" if milestone else "autosave"
+                path = os.path.join(
+                    config.out_root,
+                    f"{config.model_name}_{tag}_{epoch}_{mark}.npz")
+                from onet_tpu.models.arch import arch_meta
+                # async: the host snapshot is synchronous (donated buffers),
+                # the npz write + autosave rotation overlap the next epochs;
+                # writer.wait() below surfaces any IO error before return
+                writer.save(path, params, bn_state, epoch,
+                            opt_state=opt_state, meta=arch_meta(config),
+                            rotate=None if milestone else (
+                                config.out_root, config.autosave_keep,
+                                f"{config.model_name}_autosave_*.npz"))
+                if log:
+                    logging.info("Saved checkpoint at epoch %d: %s", epoch, path)
 
-    writer.wait()
-    guard.restore()
+        writer.wait()
+    finally:
+        guard.restore()
     if log:
         from onet_tpu.report.curves import save_training_curves
 

@@ -262,61 +262,63 @@ def train(config: Zy3Config, train_ds: ArrayDataset, test_ds: ArrayDataset,
     mark = datehour_mark()
     from onet_tpu.train.preempt import PreemptGuard
     guard = PreemptGuard(config.preempt_save).install()
-    for epoch in range(start_epoch, config.epoch_nums):
-        lr = cosine_warm_restarts(config.base_lr, epoch, t0=config.t0,
-                                  t_mult=config.t_mult, eta_min=config.eta_min)
-        losses = []
-        ek = jax.random.fold_in(k_loop, epoch)
-        for bi, batch in enumerate(batch_iterator(train_ds, config.batch_sz,
-                                                  key=ek)):
-            x = batch["imgs"]
-            if config.aug:
-                x = augment_batch(jax.random.fold_in(ek, bi), x)
-            params, bn_state, opt_state, loss = train_step(
-                params, bn_state, opt_state, x, lr)
-            losses.append(loss)
+    try:
+        for epoch in range(start_epoch, config.epoch_nums):
+            lr = cosine_warm_restarts(config.base_lr, epoch, t0=config.t0,
+                                      t_mult=config.t_mult, eta_min=config.eta_min)
+            losses = []
+            ek = jax.random.fold_in(k_loop, epoch)
+            for bi, batch in enumerate(batch_iterator(train_ds, config.batch_sz,
+                                                      key=ek)):
+                x = batch["imgs"]
+                if config.aug:
+                    x = augment_batch(jax.random.fold_in(ek, bi), x)
+                params, bn_state, opt_state, loss = train_step(
+                    params, bn_state, opt_state, x, lr)
+                losses.append(loss)
+                if guard.triggered:
+                    break
             if guard.triggered:
+                # drain: checkpoint with the interrupted epoch recorded as
+                # NOT done; restart_from=<path> redoes it in full
+                path = os.path.join(
+                    config.out_root,
+                    f"{config.model_name}_preempt{max(epoch - 1, 0)}"
+                    f"_{mark}.npz")
+                from onet_tpu.models.arch import arch_meta
+                save_checkpoint(path, params, bn_state, epoch - 1,
+                                opt_state=opt_state, meta=arch_meta(config))
+                history["preempted"] = epoch
+                msg = (f"SIGTERM: preempted at epoch {epoch}; checkpoint "
+                       f"saved -> {path} (pass restart_from to continue)")
+                if log:
+                    print(msg)
+                    logging.warning(msg)
                 break
-        if guard.triggered:
-            # drain: checkpoint with the interrupted epoch recorded as
-            # NOT done; restart_from=<path> redoes it in full
-            path = os.path.join(
-                config.out_root,
-                f"{config.model_name}_preempt{max(epoch - 1, 0)}"
-                f"_{mark}.npz")
-            from onet_tpu.models.arch import arch_meta
-            save_checkpoint(path, params, bn_state, epoch - 1,
-                            opt_state=opt_state, meta=arch_meta(config))
-            history["preempted"] = epoch
-            msg = (f"SIGTERM: preempted at epoch {epoch}; checkpoint "
-                   f"saved -> {path} (pass restart_from to continue)")
+            loss_epoch = float(jnp.mean(jnp.stack(losses)))
+            history["loss"].append(loss_epoch)
+
+            metrics, _ = evaluate_zy3(eval_batch, params, bn_state, test_ds,
+                                      config.batch_sz)
+            history["eval"][epoch] = metrics
+            line = ("%s===Epoch: %04d, Training loss: %.2E, lr: %.2E,"
+                    "miou %.4f acc %.4f" % (config.model_name, epoch, loss_epoch,
+                                            lr, metrics["miou"], metrics["acc"]))
             if log:
-                print(msg)
-                logging.warning(msg)
-            break
-        loss_epoch = float(jnp.mean(jnp.stack(losses)))
-        history["loss"].append(loss_epoch)
+                print(line)
+                logging.info(line)
 
-        metrics, _ = evaluate_zy3(eval_batch, params, bn_state, test_ds,
-                                  config.batch_sz)
-        history["eval"][epoch] = metrics
-        line = ("%s===Epoch: %04d, Training loss: %.2E, lr: %.2E,"
-                "miou %.4f acc %.4f" % (config.model_name, epoch, loss_epoch,
-                                        lr, metrics["miou"], metrics["acc"]))
-        if log:
-            print(line)
-            logging.info(line)
+            if epoch == config.epoch_nums - 1 or epoch in config.save_epochs:
+                path = os.path.join(config.out_root,
+                                    f"{config.model_name}_epoch{epoch}_{mark}.npz")
+                from onet_tpu.models.arch import arch_meta
+                save_checkpoint(path, params, bn_state, epoch,
+                                opt_state=opt_state, meta=arch_meta(config))
+                if log:
+                    logging.info("Saved checkpoint: %s", path)
 
-        if epoch == config.epoch_nums - 1 or epoch in config.save_epochs:
-            path = os.path.join(config.out_root,
-                                f"{config.model_name}_epoch{epoch}_{mark}.npz")
-            from onet_tpu.models.arch import arch_meta
-            save_checkpoint(path, params, bn_state, epoch,
-                            opt_state=opt_state, meta=arch_meta(config))
-            if log:
-                logging.info("Saved checkpoint: %s", path)
-
-    guard.restore()
+    finally:
+        guard.restore()
     if log:
         from onet_tpu.report.curves import save_training_curves
 

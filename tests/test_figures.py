@@ -87,3 +87,29 @@ def test_two_stage_draw(tmp_path):
     p = draw_two_stage(str(tmp_path / "2stage.png"), eval_batch,
                        p1, b1, p2, b2, batch)
     assert os.path.getsize(p) > 0
+
+
+def test_segmentation_grid_v1(tmp_path, imgs, rng):
+    """The v1 show_segmentation layout (utils_20231218.py:479-533):
+    channel rows + gt + pred, for single-channel, multi-channel, and
+    rgb inputs."""
+    p = curves.save_segmentation_grid(
+        str(tmp_path / "seg1.png"), imgs["x"], imgs["mask"], imgs["mask"],
+        title="radar")
+    assert os.path.getsize(p) > 0
+    rgb = rng.random((5, 16, 16, 3)).astype(np.float32)
+    p = curves.save_segmentation_grid(
+        str(tmp_path / "seg3.png"), rgb, imgs["mask"], imgs["mask"])
+    assert os.path.getsize(p) > 0
+    two_chn = rng.random((5, 16, 16, 2)).astype(np.float32)
+    p = curves.save_segmentation_grid(
+        str(tmp_path / "seg2.png"), two_chn, imgs["mask"], imgs["mask"])
+    assert os.path.getsize(p) > 0
+
+
+def test_adversarial_grid_v1(tmp_path, imgs):
+    """The v1 show_unet_adversarial layout (utils_20231218.py:534-552)."""
+    p = curves.save_adversarial_grid(
+        str(tmp_path / "adv.png"), imgs["x"], imgs["map"], imgs["map"],
+        imgs["mask"], title="sim")
+    assert os.path.getsize(p) > 0

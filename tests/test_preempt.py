@@ -169,3 +169,31 @@ sys.exit(0)
     # resume started after the recorded epoch and trained the remainder
     assert len(hist["loss"]) == 2
     assert "preempted" not in hist
+
+def test_guard_restored_when_trainer_raises(tmp_path, monkeypatch):
+    """An exception escaping the epoch loop must still restore the
+    previous SIGTERM handler (try/finally) — otherwise long-lived
+    in-process callers (sweep loops, test suites) keep a dead guard's
+    flag-setter installed. Advisor round-3 finding."""
+    import jax
+    import pytest
+
+    import onet_tpu.train.zy3 as Z
+    from onet_tpu.data.arrays import ArrayDataset
+
+    rng = np.random.default_rng(2)
+    imgs = rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    labels = (imgs.mean(-1) > 0.6).astype(np.int32)
+    ds = ArrayDataset({"imgs": imgs, "labels": labels})
+
+    def boom(base, epoch, **kw):
+        raise RuntimeError("mid-loop failure")
+
+    monkeypatch.setattr(Z, "cosine_warm_restarts", boom)
+    before = signal.getsignal(signal.SIGTERM)
+    cfg = Z.Zy3Config(epoch_nums=3, batch_sz=2, base_channels=8,
+                      in_channels=3, out_root=str(tmp_path),
+                      model_name="zboom", save_epochs=())
+    with pytest.raises(RuntimeError, match="mid-loop failure"):
+        Z.train(cfg, ds, ds, log=False)
+    assert signal.getsignal(signal.SIGTERM) is before

@@ -56,8 +56,10 @@ def test_simclutter_pt_export_k_bg_keys(tmp_path):
     path = str(tmp_path / "k.pt")
     export_simclutter_pt(path, d, bg="k")
     ref = torch.load(path, map_location="cpu")
-    assert "k_imgs" in ref and "k_labels" in ref   # bg_type-keyed like
+    # CLI alias 'k' maps to the reference's bg_type name 'kdist', matching
     # prepare_data's '%s_imgs' % bg_type (Rayleigh_bg_...:312)
+    assert "kdist_imgs" in ref and "kdist_labels" in ref
+    assert "kdist" in ref["desc"]
 
 
 def test_zy3_pt_export_round_trip(tmp_path):

@@ -476,3 +476,51 @@ def test_cli_serve_rgb_checkpoint(tmp_path, capsys):
               "--input", str(tmp_path / "frames.npz"), "--out", str(out),
               "--base-channels", "8", "--fp32", "--serve-batch", "2"])
     assert np.load(out)["masks"].shape == (2, 32, 32)
+
+
+def test_parse_sp_validation():
+    """--sp accepts R / RxC and rejects malformed specs with SystemExit
+    (not a raw ValueError traceback) — advisor round-3 finding."""
+    from onet_tpu.run import _parse_sp
+
+    assert _parse_sp("2") == (2, 1)
+    assert _parse_sp("2x") == (2, 1)
+    assert _parse_sp("2x4") == (2, 4)
+    for bad in ("two", "2x2x2", "0x3", "", "x2", "-1"):
+        with pytest.raises(SystemExit):
+            _parse_sp(bad)
+
+
+def test_cli_gen_data_zy3_ts(tmp_path):
+    """gen-data --workload zy3 --out x.ts writes a real tilestore (it
+    previously wrote npz bytes under a .ts name) — advisor round-3
+    finding."""
+    from onet_tpu import run as cli
+    from onet_tpu.data.tilestore import load_store
+
+    out = tmp_path / "zy3.ts"
+    cli.main(["gen-data", "--workload", "zy3", "--n", "2",
+              "--out", str(out)])
+    d = load_store(str(out))
+    assert d["imgs"].shape[0] == 2 and d["labels"].shape[0] == 2
+
+
+def test_wp_rblk_env_is_lazy_and_validated(monkeypatch):
+    """ONET_WP_RBLK is parsed at first kernel use, not import, and
+    rejects non-integers / non-powers-of-two / oversized blocks with a
+    clear message — advisor round-3 finding."""
+    from onet_tpu.ops import pallas_conv as pc
+
+    monkeypatch.setattr(pc, "_RBLK_CACHE", [])
+    monkeypatch.setenv("ONET_WP_RBLK", "banana")
+    with pytest.raises(ValueError, match="not an integer"):
+        pc._rblk()
+    monkeypatch.setenv("ONET_WP_RBLK", "48")
+    with pytest.raises(ValueError, match="power of two"):
+        pc._rblk()
+    monkeypatch.setenv("ONET_WP_RBLK", "128")
+    with pytest.raises(ValueError, match="power of two"):
+        pc._rblk()
+    monkeypatch.setenv("ONET_WP_RBLK", "32")
+    assert pc._rblk() == 32
+    assert pc._rblk() == 32   # cached
