@@ -153,12 +153,24 @@ def main():
     combined = 2.0 / (1.0 / train_rate + 1.0 / infer_rate)
     combined_int8 = (2.0 / (1.0 / train_rate + 1.0 / int8_rate)
                      if int8_rate else None)
+    # self-describing physics context (SOL.md): median across trials, MFU
+    # of the train step (2.31 TF useful work/tile at 197 TF/s bf16 peak),
+    # and the fraction of the model's speed-of-light ceiling achieved
+    # (85.3 t/s zero-overhead train; ~130 combined under perfect execution)
+    tr_med = float(np.median(train_trials))
+    in_med = float(np.median(infer_trials))
+    combined_median = 2.0 / (1.0 / tr_med + 1.0 / in_med)
+    train_mfu = train_rate * 2.31 / 197.0
+    sol_fraction = combined / 130.0
     print(json.dumps({
         "metric": "onet_512tile_throughput_per_chip",
         "value": round(combined, 2),
         "unit": "tiles/sec/chip (train+infer harmonic mean)",
         "vs_baseline": round(combined / BASELINE_PER_CHIP, 3),
-        "detail": {"train_tiles_per_s": round(train_rate, 2),
+        "detail": {"median": round(combined_median, 2),
+                   "mfu": round(train_mfu, 3),
+                   "sol_fraction": round(sol_fraction, 3),
+                   "train_tiles_per_s": round(train_rate, 2),
                    "infer_tiles_per_s": round(infer_rate, 2),
                    "infer_int8_tiles_per_s": (round(int8_rate, 2)
                                               if int8_rate else None),

@@ -8,6 +8,9 @@ config (same schema):
   python -m onet_tpu.run zy3        [--train-file x.pt --test-file y.pt]
   python -m onet_tpu.run nau        [--model ckpt.npz --test-file z.pt]
   python -m onet_tpu.run gen-data   [--out rayleigh.npz]
+  python -m onet_tpu.run prepare-zy3 --src DIR [--masks DIR] --out x.pt
+  python -m onet_tpu.run zy3 --choose-preprocess DIR --choose-masks DIR \
+                             --model ckpt.npz   [--classified]
   python -m onet_tpu.run bench
 
 Workloads fall back to device-synthesized data when the reference .pt
@@ -55,7 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name in ("simclutter", "zy3", "nau", "gen-data", "bench", "sweep",
                  "serve", "summary", "import-torch", "export-torch",
-                 "export-artifact", "infoseg", "iic"):
+                 "export-artifact", "infoseg", "iic", "prepare-zy3",
+                 "verify-data"):
         p = sub.add_parser(name)
         _add_common(p)
         if name in ("simclutter", "zy3"):
@@ -116,6 +120,79 @@ def build_parser() -> argparse.ArgumentParser:
                                 "(same mesh semantics as simclutter --dp; "
                                 "batch and frame counts must divide N). "
                                 "0 = single device")
+            p.add_argument("--choose-preprocess", default=None,
+                           metavar="SRC_DIR",
+                           help="run the preprocessing-SELECTION workload "
+                                "instead of training: score every "
+                                "admissible pre-option per raw scene with "
+                                "a trained model (--model) and keep the "
+                                "best-mIoU variant — the reference's "
+                                "ORACLE evaluation protocol "
+                                "(choose_test_preprocess, test_pre_"
+                                "processing_on_zy3_testset_20240607.py:"
+                                "359-472); writes the best-dict .pt + "
+                                "xlsx report and evaluates the divided "
+                                "testset on it (:553-562)")
+            p.add_argument("--choose-masks", default=None,
+                           metavar="MASK_DIR",
+                           help="ground-truth mask directory paired (by "
+                                "sorted order) with --choose-preprocess "
+                                "scenes")
+            p.add_argument("--classified", action="store_true",
+                           help="with --choose-preprocess: fixed per-"
+                                "cloud-class assignment (normal/thin -> "
+                                "haze_enhance, snow -> contrast_enhance_"
+                                "haze_remove) instead of the oracle "
+                                "search (classified_preprocess, :261-357)")
+            p.add_argument("--model", default=None,
+                           help="checkpoint for --choose-preprocess "
+                                "(.npz or reference .pytorch; falls back "
+                                "to the YAML model_file)")
+            p.add_argument("--out-dict", default=None,
+                           help="output path for the best-preprocess "
+                                "dict (.pt reference schema or .npz; "
+                                "default <out_root>/zy3_test_best_"
+                                "preprocess.pt)")
+        if name == "prepare-zy3":
+            p.add_argument("--src", required=True, metavar="DIR",
+                           help="directory of raw RGB scenes (jpg/png; "
+                                "grayscale converted like the reference, "
+                                "test_pre_processing_on_zy3_testset_"
+                                "20240607.py:108-112)")
+            p.add_argument("--masks", default=None, metavar="DIR",
+                           help="optional mask PNG directory paired by "
+                                "sorted order (>0.5 binarized; id "
+                                "1706158599 force-marked all-ones, "
+                                ":186-212)")
+            p.add_argument("--pre-option", default="raw_rgb",
+                           choices=["raw_rgb", "histeq_rgb",
+                                    "contrast_enhance", "haze_enhance",
+                                    "haze_remove", "histeq_haze_enhance",
+                                    "histeq_haze_remove",
+                                    "contrast_enhance_haze_enhance",
+                                    "contrast_enhance_haze_remove"],
+                           help="preprocessing applied to every thumbnail "
+                                "(the 9 options of make_thrumnail_image, "
+                                ":118-174; dark-channel haze runs as XLA "
+                                "ops)")
+            p.add_argument("--out", required=True,
+                           help=".pt (reference dict-of-dicts schema) or "
+                                ".npz output")
+            p.add_argument("--resize-to", type=int, default=300)
+            p.add_argument("--crop", type=int, default=224)
+            p.add_argument("--id-prefix", default="",
+                           help="prefix for dict keys (the reference "
+                                "uses 'zy3_test_')")
+        if name == "verify-data":
+            p.add_argument("file", help="reference-schema .pt to validate "
+                                        "(simclutter/zy3/nau)")
+            p.add_argument("--workload", default="auto",
+                           choices=["auto", "simclutter", "zy3", "nau"],
+                           help="schema to check against (default: sniff "
+                                "from the file's key structure)")
+            p.add_argument("--no-eval", action="store_true",
+                           help="skip the one-batch forward probe (schema "
+                                "checks only)")
         if name == "nau":
             p.add_argument("--model", default=None)
             p.add_argument("--test-file", default=None)
@@ -321,6 +398,100 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _run_choose_preprocess(args, cfg_yaml, policy):
+    """The preprocessing-selection workload (`run zy3 --choose-preprocess`):
+    the reference's test_pre_processing_on_zy3_testset __main__
+    (:506-562) — load a trained model, score every admissible pre-option
+    per raw scene (oracle best-mIoU, or the fixed per-class assignment
+    with --classified), save the best-dict .pt + xlsx report, then
+    evaluate the divided testset on the selected thumbnails."""
+    import jax
+    from onet_tpu.core.checkpoint import datehour_mark, load_arch_auto
+    from onet_tpu.preprocess.onramp import (choose_preprocess,
+                                            classified_choose,
+                                            id_from_filename,
+                                            list_scene_files, save_zy3_dict,
+                                            write_preprocess_report)
+
+    if not args.choose_masks:
+        raise SystemExit("--choose-preprocess needs --choose-masks DIR: "
+                         "the selection scores each option against ground "
+                         "truth (oracle evaluation protocol)")
+    model = args.model or getattr(cfg_yaml, "model_file", None)
+    if not model or not os.path.exists(model):
+        raise SystemExit("--choose-preprocess needs --model CKPT (.npz or "
+                         "reference .pytorch; or model_file in the YAML)")
+    src_files = list_scene_files(args.choose_preprocess)
+    mask_files = list_scene_files(args.choose_masks)
+    if not src_files:
+        raise SystemExit(f"{args.choose_preprocess}: no scenes found")
+    if len(src_files) != len(mask_files):
+        raise SystemExit(f"{len(src_files)} scenes but {len(mask_files)} "
+                         "masks (paired by sorted filename order)")
+    arch, params, bn_state, _ = load_arch_auto(model)
+    fwd = None if arch.vanilla else arch.forward
+    out_root = args.out_root or cfg_yaml.out_root
+    os.makedirs(out_root, exist_ok=True)
+
+    # cloud-class division: the reference's xlsx table when configured,
+    # else round-robin stand-in groups (like the zy3 training report)
+    from onet_tpu.train.zy3 import GROUP_NAMES
+    ids = ["zy3_test_" + id_from_filename(f) for f in src_files]
+    division_file = getattr(cfg_yaml, "division_file", None)
+    if division_file and os.path.exists(division_file):
+        from onet_tpu.preprocess.curation import load_division_table
+        groups = load_division_table(division_file)
+    else:
+        groups = {g: [ids[i] for i in range(gi, len(ids), 3)]
+                  for gi, g in enumerate(GROUP_NAMES)}
+
+    if args.classified:
+        best, rows = classified_choose(
+            params, bn_state, src_files, mask_files, groups,
+            policy=policy, forward=fwd)
+        tag = "classified"
+    else:
+        best, rows = choose_preprocess(
+            params, bn_state, src_files, mask_files, groups=groups,
+            policy=policy, forward=fwd, progress=True)
+        tag = "best"
+    mean_acc = float(np.mean([r["acc"] for r in rows]))
+    mean_miou = float(np.mean([r["miou"] for r in rows]))
+    for r in rows:
+        print("%s,\t input,%10s,acc,%.4f,miou,%.4f, classified type, %s"
+              % (r["img_id"], r["opt"], r["acc"], r["miou"],
+                 r["classified_type"]))
+    print("acc %.4f, miou %.4f after pre-processing" % (mean_acc, mean_miou))
+
+    out_dict = args.out_dict or os.path.join(
+        out_root, f"zy3_test_{tag}_preprocess.pt")
+    save_zy3_dict(out_dict, best)
+    xlsx = write_preprocess_report(
+        os.path.join(out_root,
+                     f"zy3_testset_{tag}_preprocess_{datehour_mark()}.xlsx"),
+        rows)
+    print(f"[choose-preprocess] dict: {out_dict}")
+    print(f"[choose-preprocess] report: {xlsx}")
+
+    # the reference __main__ tail (:553-562): evaluate the divided testset
+    # on the selected thumbnails, xlsx with embedded grids
+    from onet_tpu.data.arrays import ArrayDataset
+    import jax.numpy as jnp
+    keys = list(best)
+    ds = ArrayDataset({
+        "imgs": jnp.asarray(np.stack([best[k]["img"] for k in keys])),
+        "labels": jnp.asarray(np.stack([best[k]["mask"] for k in keys]))})
+    from onet_tpu.train.zy3 import save_zy3_test_results
+    excel_path = os.path.join(
+        out_root, f"zy3_results_{tag}_preprocess_{datehour_mark()}.xlsx")
+    path, summary = save_zy3_test_results(
+        excel_path, params, bn_state, ds, keys, groups,
+        batch_sz=min(5, len(keys)), policy=policy, draw=False,
+        model_name=f"onet_{tag}_preprocess", forward=fwd)
+    print(f"[choose-preprocess] divided-testset report: {path}")
+    print(summary.to_string(index=False))
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -487,6 +658,46 @@ def main(argv=None):
               f"{os.path.getsize(out) / 1e6:.1f} MB, {meta['arithmetic']}, "
               f"input [{meta['batch']}, {args.input_sz}, {args.input_sz}, "
               f"{cin}], platforms {','.join(meta['platforms'])}")
+        return
+
+    if args.cmd == "verify-data":
+        # real-data conformance kit: schema contract + stats + one jitted
+        # eval batch, so a real ZY-3/NAU/simclutter .pt drop-in is a
+        # 1-command acceptance test (data/verify.py)
+        from onet_tpu.data.verify import format_report, verify_dataset
+        report = verify_dataset(args.file, args.workload,
+                                eval_batch=not args.no_eval, policy=policy)
+        print(format_report(report))
+        if not report["ok"]:
+            raise SystemExit(1)
+        return
+
+    if args.cmd == "prepare-zy3":
+        # raw-imagery on-ramp: jpg/png directory -> Resize(300)/
+        # CenterCrop(224) thumbnails (+ binarized masks) in the
+        # reference's dict .pt schema — the path real ZY-3 data arrives
+        # through (make_thrumnail_image/make_thumnail_mask,
+        # test_pre_processing_on_zy3_testset_20240607.py:99-212)
+        from onet_tpu.preprocess.onramp import (list_scene_files,
+                                                prepare_zy3_thumbnails,
+                                                save_zy3_dict)
+        src = list_scene_files(args.src)
+        if not src:
+            raise SystemExit(f"--src {args.src}: no jpg/png scenes found")
+        masks = None
+        if args.masks:
+            masks = list_scene_files(args.masks)
+            if len(masks) != len(src):
+                raise SystemExit(
+                    f"{len(src)} scenes but {len(masks)} masks; the "
+                    "pairing is by sorted filename order")
+        prepared, ids = prepare_zy3_thumbnails(
+            src, masks, pre_option=args.pre_option,
+            resize_to=args.resize_to, crop=args.crop)
+        out = save_zy3_dict(args.out, prepared, id_prefix=args.id_prefix)
+        print(f"[prepare-zy3] {len(ids)} scenes -> {out} "
+              f"(pre_option={args.pre_option}, crop={args.crop}, "
+              f"masks={'yes' if masks else 'no'})")
         return
 
     if args.cmd == "gen-data":
@@ -1037,6 +1248,9 @@ def main(argv=None):
 
     if args.cmd == "zy3":
         cfg_yaml = generate_config(args.config, "zy3", argv=[])
+        if args.choose_preprocess:
+            _run_choose_preprocess(args, cfg_yaml, policy)
+            return
         from onet_tpu.train.zy3 import Zy3Config, train
         from onet_tpu.data.zy3 import load_zy3_dict_pt, synthesize_zy3
         if args.cloud_addition:

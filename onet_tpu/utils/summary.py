@@ -142,9 +142,15 @@ def runtime_layer_summary(params, state, x, *, train: bool = False) -> List[Dict
     return rows
 
 
-def get_scr(image: jnp.ndarray, label: jnp.ndarray) -> float:
-    """Signal-to-clutter ratio of the labelled extended target (dB)."""
+def scr_db(image: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+    """Signal-to-clutter ratio of the labelled extended target (dB),
+    jittable (no host fetch); get_scr is the eager float wrapper."""
     lab = label.astype(image.dtype)
     sig = jnp.sum(jnp.square(lab * image)) / jnp.maximum(jnp.sum(lab == 1), 1)
     noi = jnp.sum(jnp.square((1 - lab) * image)) / jnp.maximum(jnp.sum(lab == 0), 1)
-    return float(10.0 * jnp.log10(sig / noi))
+    return 10.0 * jnp.log10(sig / noi)
+
+
+def get_scr(image: jnp.ndarray, label: jnp.ndarray) -> float:
+    """Signal-to-clutter ratio of the labelled extended target (dB)."""
+    return float(scr_db(image, label))
