@@ -131,6 +131,118 @@ def test_http_end_to_end(rng):
     assert not t.is_alive()
 
 
+def test_http_concurrent_load(rng):
+    """Daemon under contention: N segment clients + health/stat probes.
+
+    The daemon serializes device steps behind a lock (one chip, one
+    graph) while the HTTP layer is threaded so probes never queue behind
+    inference (serve/http.py docstring). This drives that contract:
+      * every concurrent /segment response is mask-exact vs the direct
+        jitted step on the same payload (the lock never mixes requests),
+      * /healthz and /stats stay responsive while inference is queued,
+      * counters are consistent (requests/frames/errors) and the latency
+        percentiles are finite and sane,
+      * concurrent malformed payloads 400 without wedging the server.
+    """
+    import json
+    import urllib.error
+
+    from onet_tpu.serve.http import start_server
+
+    n_clients, n_reqs = 6, 4
+    sess, step, folded = _tiny_session(batch=2)
+    sess.warmup()
+    httpd = start_server(sess, 0)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    server = threading.Thread(target=httpd.serve_forever,
+                              kwargs={"poll_interval": 0.05})
+    server.start()
+
+    # Pre-generate payloads + expected masks so worker threads only do I/O.
+    payloads, expected = [], []
+    for c in range(n_clients):
+        batch = [rng.uniform(0, 1, (1 + (c + r) % 3, 32, 32, 1))
+                 .astype(np.float32) for r in range(n_reqs)]
+        payloads.append(batch)
+        expected.append([np.asarray(step(folded, jnp.asarray(b))[1])
+                         .astype(np.uint8) for b in batch])
+
+    errors: list = []
+    probe_lat_ms: list = []
+    stop_probes = threading.Event()
+
+    def segment_client(cid):
+        try:
+            for r in range(n_reqs):
+                masks, headers = _post_npy(base + "/segment",
+                                           payloads[cid][r])
+                np.testing.assert_array_equal(masks, expected[cid][r])
+                assert headers["X-Onet-Frames"] == str(masks.shape[0])
+        except Exception as e:  # noqa: BLE001 — surfaced after join
+            errors.append(f"client {cid}: {e!r}")
+
+    def bad_client():
+        try:
+            for _ in range(2):
+                req = urllib.request.Request(base + "/segment",
+                                             data=b"junk", method="POST")
+                try:
+                    urllib.request.urlopen(req, timeout=30)
+                    errors.append("bad payload did not 400")
+                except urllib.error.HTTPError as e:
+                    assert e.code == 400
+                    json.loads(e.read())   # body is well-formed JSON
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"bad_client: {e!r}")
+
+    def probe_client(path):
+        try:
+            while not stop_probes.is_set():
+                t0 = time.perf_counter()
+                obj = _get_json(base + path)
+                probe_lat_ms.append((time.perf_counter() - t0) * 1e3)
+                assert "error" not in obj
+                time.sleep(0.01)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"probe {path}: {e!r}")
+
+    threads = ([threading.Thread(target=segment_client, args=(c,))
+                for c in range(n_clients)]
+               + [threading.Thread(target=bad_client)]
+               + [threading.Thread(target=probe_client, args=(p,))
+                  for p in ("/healthz", "/stats")])
+    try:
+        for t in threads:
+            t.start()
+        for t in threads[:n_clients + 1]:
+            t.join(timeout=300)
+        stop_probes.set()
+        for t in threads[n_clients + 1:]:
+            t.join(timeout=60)
+        assert not any(t.is_alive() for t in threads), "request deadlock"
+        assert not errors, errors
+
+        stats = _get_json(base + "/stats")
+        assert stats["requests"] == n_clients * n_reqs
+        assert stats["frames"] == sum(
+            b.shape[0] for batch in payloads for b in batch)
+        assert stats["errors"] == 2
+        # Percentiles exist and are sane under contention (generous bound:
+        # this guards against deadlock/shutdown-hang regressions, not
+        # absolute speed on a shared CPU host).
+        for key in ("device_ms", "total_ms"):
+            assert 0 < stats[key]["p95"] < 60_000
+        assert probe_lat_ms and max(probe_lat_ms) < 30_000, \
+            "health/stat probes starved behind inference"
+    finally:
+        stop_probes.set()
+        httpd.shutdown()
+        server.join(timeout=60)
+        httpd.server_close()
+    assert not server.is_alive()
+
+
 def test_cli_serve_http(tmp_path, capsys, monkeypatch):
     """`run serve --http 0 --http-requests N` end to end through the CLI."""
     from onet_tpu import run as cli
