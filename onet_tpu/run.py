@@ -59,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
     for name in ("simclutter", "zy3", "nau", "gen-data", "bench", "sweep",
                  "serve", "summary", "import-torch", "export-torch",
                  "export-artifact", "infoseg", "iic", "prepare-zy3",
-                 "verify-data"):
+                 "verify-data", "reproduce"):
         p = sub.add_parser(name)
         _add_common(p)
         if name in ("simclutter", "zy3"):
@@ -183,6 +183,15 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--id-prefix", default="",
                            help="prefix for dict keys (the reference "
                                 "uses 'zy3_test_')")
+        if name == "reproduce":
+            p.add_argument("--scale", choices=["smoke", "paper"],
+                           default="smoke",
+                           help="smoke: minutes-level end-to-end chain "
+                                "drive; paper: the published protocol "
+                                "(301/60/11 epochs, 150 frames/level)")
+            p.add_argument("--out", default=None,
+                           help="artifact root (default "
+                                "runs/reproduce_<scale>)")
         if name == "verify-data":
             p.add_argument("file", help="reference-schema .pt to validate "
                                         "(simclutter/zy3/nau)")
@@ -506,6 +515,19 @@ def main(argv=None):
     if args.cmd == "bench":
         import bench
         bench.main()
+        return
+
+    if args.cmd == "reproduce":
+        # one-command full-protocol reproduction (runs/reproduce_all.py):
+        # chains the reference's entire published recipe and writes
+        # REPRODUCE.md with every number beside its reference anchor
+        import sys
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        from runs.reproduce_all import run as reproduce_run
+        out = args.out or os.path.join("runs", f"reproduce_{args.scale}")
+        reproduce_run(args.scale, out)
         return
 
     if args.cmd == "summary":

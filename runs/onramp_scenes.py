@@ -18,8 +18,6 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")  # tiny job; keep the TPU free
-
 
 def write_scenes(src_dir, mask_dir, imgs, masks, ids, haze_every=2):
     from PIL import Image
@@ -40,6 +38,7 @@ def write_scenes(src_dir, mask_dir, imgs, masks, ids, haze_every=2):
 
 
 def main():
+    jax.config.update("jax_platforms", "cpu")  # tiny job; keep the TPU free
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir")
     ap.add_argument("--n-train", type=int, default=40)
