@@ -51,8 +51,10 @@ INFER_BATCH = 32  # serving: the folded channel-stacked graph peaks at
                   # choices at 512^2 are strongly batch-dependent; measured)
 ITERS = 10
 TRIALS = 3        # the axon tunnel shows multi-minute throughput dips;
-                  # report the best trial (device capability, not tunnel
-                  # weather)
+                  # the HEADLINE is the median trial (conservative by
+                  # construction, round-4 verdict weak item 5); the best
+                  # trial — device capability with tunnel weather removed
+                  # — stays in detail
 BASELINE_PER_CHIP = 2000.0 / 8.0
 
 
@@ -89,7 +91,8 @@ def main():
                                                            opt_state, x, 1e-5)
         loss_v = float(loss)  # data-depends on all ITERS chained steps
         train_trials.append(BATCH * ITERS / (time.perf_counter() - t0))
-    train_rate = max(train_trials)
+    train_rate = float(np.median(train_trials))
+    train_best = max(train_trials)
 
     # opt-in int8-training detail lines (models/qtrain.py; headline stays
     # the exact bf16 train — the parity contract)
@@ -123,7 +126,8 @@ def main():
             acc = acc + mask.sum()  # chain: the final fetch syncs every step
         float(acc)
         infer_trials.append(INFER_BATCH * ITERS / (time.perf_counter() - t0))
-    infer_rate = max(infer_trials)
+    infer_rate = float(np.median(infer_trials))
+    infer_best = max(infer_trials)
 
     # int8 PTQ serving (opt-in path, models/quant.py) — reported as a
     # detail, never the headline: the parity contract is bf16's. A broken
@@ -146,20 +150,20 @@ def main():
             float(acc)
             int8_trials.append(INFER_BATCH * ITERS
                                / (time.perf_counter() - t0))
-        int8_rate = max(int8_trials)
+        int8_rate = float(np.median(int8_trials))
     except Exception as e:  # noqa: BLE001 — reported, not swallowed
         int8_error = f"{type(e).__name__}: {e}"[:300]
 
+    # headline = harmonic mean of the MEDIAN train/infer trials; the
+    # best-trial combined (tunnel weather removed) is a detail field
     combined = 2.0 / (1.0 / train_rate + 1.0 / infer_rate)
     combined_int8 = (2.0 / (1.0 / train_rate + 1.0 / int8_rate)
                      if int8_rate else None)
-    # self-describing physics context (SOL.md): median across trials, MFU
-    # of the train step (2.31 TF useful work/tile at 197 TF/s bf16 peak),
-    # and the fraction of the model's speed-of-light ceiling achieved
-    # (85.3 t/s zero-overhead train; ~130 combined under perfect execution)
-    tr_med = float(np.median(train_trials))
-    in_med = float(np.median(infer_trials))
-    combined_median = 2.0 / (1.0 / tr_med + 1.0 / in_med)
+    combined_best = 2.0 / (1.0 / train_best + 1.0 / infer_best)
+    # self-describing physics context (SOL.md): MFU of the train step
+    # (2.31 TF useful work/tile at 197 TF/s bf16 peak), and the fraction
+    # of the model's speed-of-light ceiling achieved (85.3 t/s
+    # zero-overhead train; ~130 combined under perfect execution)
     train_mfu = train_rate * 2.31 / 197.0
     sol_fraction = combined / 130.0
     print(json.dumps({
@@ -167,7 +171,7 @@ def main():
         "value": round(combined, 2),
         "unit": "tiles/sec/chip (train+infer harmonic mean)",
         "vs_baseline": round(combined / BASELINE_PER_CHIP, 3),
-        "detail": {"median": round(combined_median, 2),
+        "detail": {"best": round(combined_best, 2),
                    "mfu": round(train_mfu, 3),
                    "sol_fraction": round(sol_fraction, 3),
                    "train_tiles_per_s": round(train_rate, 2),
@@ -178,8 +182,8 @@ def main():
                                              if combined_int8 else None),
                    "int8_error": int8_error,
                    "train_int8_tiles_per_s": qtrain,
-                   # all trials (best is the headline: axon tunnel weather
-                   # causes multi-minute dips; median shows the variance)
+                   # all trials (median is the headline; best shows
+                   # capability once axon tunnel dips are removed)
                    "train_trials": [round(t, 2) for t in train_trials],
                    "infer_trials": [round(t, 2) for t in infer_trials],
                    "int8_trials": [round(t, 2) for t in int8_trials],

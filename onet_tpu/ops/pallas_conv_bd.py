@@ -93,8 +93,14 @@ def _store_stats(acc, hb, s1_ref, s2_ref):
         s2_ref[0, 0] += s2
 
 
-def _bd_fwd_kernel(x_any, xb_ref, w_ref, y_ref, s1_ref, s2_ref,
-                   xs, a0, a2, sem, *, rblk, hblk, wd, stats):
+def _bd_fwd_kernel(x_any, xb_ref, w_ref, y_ref, *rest,
+                   rblk, hblk, wd, stats):
+    # With stats=False the s1/s2 out refs are not allocated at all
+    # (advisor r4: avoid the dead HBM writeback), so unpack positionally.
+    if stats:
+        s1_ref, s2_ref, xs, a0, a2, sem = rest
+    else:
+        xs, a0, a2, sem = rest
     n = pl.program_id(0)
     hb = pl.program_id(1)
     r0 = hb * rblk
@@ -111,11 +117,14 @@ def _bd_fwd_kernel(x_any, xb_ref, w_ref, y_ref, s1_ref, s2_ref,
 
 
 def _bd_fwd2_kernel(xa_any, xa_ref, xb_any, xb_ref, wa_ref, wb_ref,
-                    y_ref, s1_ref, s2_ref, xs, a0, a2, sem,
-                    *, rblk, hblk, wd, stats):
+                    y_ref, *rest, rblk, hblk, wd, stats):
     """Two-input variant: y = conv(xa, wa) + conv(xb, wb) — the decoder's
     concat(skip, up) conv without materializing the 256-lane concat.
     Scratch is shared serially between the inputs (18 matmuls/block)."""
+    if stats:
+        s1_ref, s2_ref, xs, a0, a2, sem = rest
+    else:
+        xs, a0, a2, sem = rest
     n = pl.program_id(0)
     hb = pl.program_id(1)
     r0 = hb * rblk
@@ -133,20 +142,25 @@ def _bd_fwd2_kernel(xa_any, xa_ref, xb_any, xb_ref, wa_ref, wb_ref,
         _store_stats(acc, hb, s1_ref, s2_ref)
 
 
-def _bd_plumbing(n, h, wd, rblk, hblk, out_dtype):
+def _bd_plumbing(n, h, wd, rblk, hblk, out_dtype, stats):
     out_shape = [
         jax.ShapeDtypeStruct((n, h, wd, L), out_dtype),
-        jax.ShapeDtypeStruct((n, 1, L), jnp.float32),
-        jax.ShapeDtypeStruct((n, 1, L), jnp.float32),
     ]
     out_specs = [
         pl.BlockSpec((1, rblk, wd, L), lambda n, hb: (n, hb, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, L), lambda n, hb: (n, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, L), lambda n, hb: (n, 0, 0),
-                     memory_space=pltpu.VMEM),
     ]
+    if stats:
+        out_shape += [
+            jax.ShapeDtypeStruct((n, 1, L), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, L), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((1, 1, L), lambda n, hb: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L), lambda n, hb: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     scratch = [
         pltpu.VMEM((rblk + 2, wd, L), jnp.bfloat16),
         pltpu.VMEM((rblk + 2, wd, L), jnp.bfloat16),
@@ -178,8 +192,8 @@ def conv3x3_bd_raw(x, w, *, rblk: int = 16, stats: bool = False,
     kern = functools.partial(_bd_fwd_kernel, rblk=rblk, hblk=hblk, wd=wd,
                              stats=stats)
     out_shape, out_specs, scratch = _bd_plumbing(n, h, wd, rblk, hblk,
-                                                 out_dtype)
-    y, s1, s2 = pl.pallas_call(
+                                                 out_dtype, stats)
+    out = pl.pallas_call(
         kern,
         grid=(n, hblk),
         in_specs=[
@@ -202,8 +216,9 @@ def conv3x3_bd_raw(x, w, *, rblk: int = 16, stats: bool = False,
         interpret=interpret,
     )(x, x, w)
     if stats:
+        y, s1, s2 = out
         return y, s1[:, 0, :], s2[:, 0, :]
-    return y
+    return out[0]
 
 
 def conv3x3_bd2in_raw(xa, xb, wa, wb, *, rblk: int = 16,
@@ -227,10 +242,10 @@ def conv3x3_bd2in_raw(xa, xb, wa, wb, *, rblk: int = 16,
     kern = functools.partial(_bd_fwd2_kernel, rblk=rblk, hblk=hblk, wd=wd,
                              stats=stats)
     out_shape, out_specs, scratch = _bd_plumbing(n, h, wd, rblk, hblk,
-                                                 out_dtype)
+                                                 out_dtype, stats)
     blocked = pl.BlockSpec((1, rblk, wd, L), lambda n, hb: (n, hb, 0, 0),
                            memory_space=pltpu.VMEM)
-    y, s1, s2 = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(n, hblk),
         in_specs=[
@@ -252,8 +267,9 @@ def conv3x3_bd2in_raw(xa, xb, wa, wb, *, rblk: int = 16,
         interpret=interpret,
     )(xa, xa, xb, xb, wa, wb)
     if stats:
+        y, s1, s2 = out
         return y, s1[:, 0, :], s2[:, 0, :]
-    return y
+    return out[0]
 
 
 def xla_conv_stats(x, w):

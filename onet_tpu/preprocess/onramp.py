@@ -215,15 +215,22 @@ def choose_preprocess(params, bn_state, src_files: Sequence[str],
         org_snr = float(_scr(jnp.asarray(apply_pre_option(u8, "raw_rgb")),
                              lab_d[..., None]))
         pre_snr = float(_scr(jnp.asarray(img_best), lab_d[..., None]))
+        # raw_rgb sits in the same scored stack, so the before-preprocess
+        # score (the README's OA 0.8833 side of 0.8833 -> 0.9254) is free.
+        bi = opts.index("raw_rgb") if "raw_rgb" in opts else None
         rec = {"img": img_best, "mask": lab, "opt": opts[k],
                "acc": float(accs[k]), "miou": float(mious[k]),
                "org_snr": org_snr, "org_scr": org_snr,
                "pre_snr": pre_snr, "pre_scr": pre_snr,
                "classified_type": ctype}
+        row = {"img_id": key, "miou": rec["miou"], "acc": rec["acc"],
+               "opt": opts[k], "org_snr": org_snr,
+               "pre_snr": pre_snr, "classified_type": ctype}
+        if bi is not None:
+            rec["base_acc"] = row["base_acc"] = float(accs[bi])
+            rec["base_miou"] = row["base_miou"] = float(mious[bi])
         best[key] = rec
-        rows.append({"img_id": key, "miou": rec["miou"], "acc": rec["acc"],
-                     "opt": opts[k], "org_snr": org_snr,
-                     "pre_snr": pre_snr, "classified_type": ctype})
+        rows.append(row)
         if progress:
             print(f"[choose-preprocess] {i + 1}/{len(src_files)} {pid}: "
                   f"{opts[k]} miou {rec['miou']:.4f} acc {rec['acc']:.4f}")

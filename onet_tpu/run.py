@@ -184,11 +184,13 @@ def build_parser() -> argparse.ArgumentParser:
                            help="prefix for dict keys (the reference "
                                 "uses 'zy3_test_')")
         if name == "reproduce":
-            p.add_argument("--scale", choices=["smoke", "paper"],
+            p.add_argument("--scale", choices=["micro", "smoke", "paper"],
                            default="smoke",
-                           help="smoke: minutes-level end-to-end chain "
-                                "drive; paper: the published protocol "
-                                "(301/60/11 epochs, 150 frames/level)")
+                           help="micro: CPU-feasible chain check (base-8 "
+                                "model, 32px); smoke: minutes-level "
+                                "end-to-end chain drive; paper: the "
+                                "published protocol (301/60/11 epochs, "
+                                "150 frames/level)")
             p.add_argument("--out", default=None,
                            help="artifact root (default "
                                 "runs/reproduce_<scale>)")

@@ -57,13 +57,22 @@ from onet_tpu.core.cache import enable_compilation_cache
 
 SCALES = {
     # epochs: (sim, baseline(infoseg/iic), zy3); frames per PSNR level;
-    # scenes for the on-ramp; frames/level in the verify sweeps
+    # scenes for the on-ramp; frames/level in the verify sweeps.
+    # base/crop size the model and frames; micro exists for the CPU chain
+    # test (tests/test_reproduce.py) — it proves stage chaining, nothing
+    # about convergence.
+    "micro": dict(sim_epochs=2, base_epochs=1, zy3_epochs=1,
+                  frames=2, sweep_frames=2, scenes=3, batch=2,
+                  eval_every=1, base=8, crop=32, nau_size=48,
+                  zy3_n=(6, 6), scene_size=48, resize=44),
     "smoke": dict(sim_epochs=6, base_epochs=6, zy3_epochs=3,
                   frames=8, sweep_frames=6, scenes=6, batch=8,
-                  eval_every=5),
+                  eval_every=5, base=64, crop=224, nau_size=200,
+                  zy3_n=(32, 12), scene_size=384, resize=300),
     "paper": dict(sim_epochs=301, base_epochs=60, zy3_epochs=11,
                   frames=150, sweep_frames=150, scenes=12, batch=10,
-                  eval_every=50),
+                  eval_every=50, base=64, crop=224, nau_size=200,
+                  zy3_n=(32, 12), scene_size=384, resize=300),
 }
 
 ANCHORS = {
@@ -117,7 +126,7 @@ def run(scale: str, out_root: str):
         from onet_tpu.data.export import export_simclutter_pt
         d = generate_rayleigh_dataset(
             jax.random.key(1981), levels=tuple(range(0, 11)),
-            frames_per_level=S["frames"], crop=224)
+            frames_per_level=S["frames"], crop=S["crop"])
         path = export_simclutter_pt(
             os.path.join(out_root, "rayleigh_2sigma.pt"), d)
         return {"file": path, "frames": int(d["imgs"].shape[0])}
@@ -131,6 +140,7 @@ def run(scale: str, out_root: str):
         cfg = SimclutterConfig(
             model_name=f"onet_weight_share_PSNR{lo}-{hi}",
             epoch_nums=S["sim_epochs"], batch_sz=S["batch"],
+            input_sz=S["crop"], base_channels=S["base"],
             low_snr=lo, high_snr=hi, frames_per_level=S["frames"],
             eval_every=S["eval_every"],
             out_root=os.path.join(out_root, "sim_clutter"),
@@ -161,7 +171,8 @@ def run(scale: str, out_root: str):
     from onet_tpu.train.sweeps import per_snr_datasets, test_by_snr
 
     data_by_snr = per_snr_datasets(jax.random.key(7),
-                                   frames_per_level=S["sweep_frames"])
+                                   frames_per_level=S["sweep_frames"],
+                                   crop=S["crop"])
 
     def sweep():
         out = {}
@@ -207,9 +218,12 @@ def run(scale: str, out_root: str):
         if os.path.exists(real):
             ds, ids = load_nau_dict_pt(real)
             src = real
+            comp = "reference-comparable (real NAU .pt)"
         else:
-            ds, ids = synthesize_nau_rain(jax.random.key(0), n=10)
+            ds, ids = synthesize_nau_rain(jax.random.key(0), n=10,
+                                          size=S["nau_size"])
             src = "synthetic stand-in (no real NAU .pt in snapshot)"
+            comp = "synthetic-data"
         p, b = low_model["pb"]          # README: onet_lowsnr0-2 transfers
         fig = os.path.join(out_root, "nau_rain_transfer.png")
         onet_m = test_naurain(p, b, ds, batch_sz=5, policy=policy,
@@ -226,7 +240,8 @@ def run(scale: str, out_root: str):
         from onet_tpu.models.infoseg import (infoseg_forward,
                                              get_label as info_label)
         icfg = InfoSegConfig(epoch_nums=S["base_epochs"],
-                             batch_sz=S["batch"],
+                             batch_sz=S["batch"], input_sz=S["crop"],
+                             base_channels=S["base"],
                              frames_per_level=S["frames"])
         ip, istate, _ = info_train(icfg, policy=policy, log=False)
         ifwd = jax.jit(lambda x: infoseg_forward(
@@ -240,6 +255,7 @@ def run(scale: str, out_root: str):
         from onet_tpu.models.iic import (iic_forward,
                                          get_label as iic_label)
         qcfg = IICConfig(epoch_nums=S["base_epochs"], batch_sz=S["batch"],
+                         input_sz=S["crop"], base_channels=S["base"],
                          frames_per_level=S["frames"])
         qp, qstate, _ = iic_train(qcfg, policy=policy, log=False)
         qfwd = jax.jit(lambda x: iic_forward(
@@ -251,7 +267,8 @@ def run(scale: str, out_root: str):
         for name, m in rows.items():
             print(f"  {name:8s} acc {m['acc']:.4f} miou {m['miou']:.4f} "
                   f"dr {m['dr']:.4f} far {m['far']:.4f}")
-        return {"data": src, "methods": rows, "figure": fig}
+        return {"data": src, "comparability": comp, "methods": rows,
+                "figure": fig}
 
     _stage(report, "nau", nau)
 
@@ -271,12 +288,19 @@ def run(scale: str, out_root: str):
             train_ds, _ = load_zy3_dict_pt(tf)
             test_ds, test_ids = load_zy3_dict_pt(sf)
             src = tf
+            comp = "reference-comparable (real ZY-3 .pt)"
         else:
-            train_ds, _ = synthesize_zy3(jax.random.key(0), n=32)
-            test_ds, test_ids = synthesize_zy3(jax.random.key(1), n=12)
+            train_ds, _ = synthesize_zy3(jax.random.key(0),
+                                         n=S["zy3_n"][0], size=S["crop"])
+            test_ds, test_ids = synthesize_zy3(jax.random.key(1),
+                                               n=S["zy3_n"][1],
+                                               size=S["crop"])
             src = "synthetic stand-in (no real ZY-3 .pt in snapshot)"
+            comp = "synthetic-data"
         cfg = Zy3Config(model_name="onet_vanilla_zy3",
-                        epoch_nums=S["zy3_epochs"], batch_sz=4,
+                        epoch_nums=S["zy3_epochs"],
+                        batch_sz=min(4, S["batch"]),
+                        input_sz=S["crop"], base_channels=S["base"],
                         out_root=os.path.join(out_root, "zy3"))
         params, bn, hist = zy3_train(cfg, train_ds, test_ds, policy=policy)
         ck = os.path.join(out_root, "zy3", "onet_zy3_reproduce.npz")
@@ -286,13 +310,14 @@ def run(scale: str, out_root: str):
                   for gi, g in enumerate(GROUP_NAMES)}
         xlsx, summary = save_zy3_test_results(
             os.path.join(out_root, "zy3", "zy3_results.xlsx"),
-            params, bn, test_ds, test_ids, groups, batch_sz=4,
+            params, bn, test_ds, test_ids, groups,
+            batch_sz=min(4, S["batch"]),
             policy=policy, draw=True, epoch=cfg.epoch_nums - 1,
             model_name=cfg.model_name)
         last = hist["eval"][max(hist["eval"])]
         print(f"  zy3 {S['zy3_epochs']}-epoch: acc "
               f"{last['acc']:.4f} miou {last['miou']:.4f} ({src})")
-        return {"data": src, "xlsx": xlsx,
+        return {"data": src, "comparability": comp, "xlsx": xlsx,
                 "final_eval": {k: round(float(v), 4)
                                for k, v in last.items()}}
 
@@ -303,37 +328,58 @@ def run(scale: str, out_root: str):
         from runs.onramp_scenes import write_scenes
         from onet_tpu.data.zy3 import synthesize_zy3
         from onet_tpu.preprocess.onramp import (choose_preprocess as choose,
+                                                id_from_filename,
                                                 list_scene_files)
         from onet_tpu.core.checkpoint import load_arch_auto
         from onet_tpu.train.zy3 import GROUP_NAMES
 
-        scene_root = os.path.join(out_root, "onramp")
-        ds_te, _ = synthesize_zy3(jax.random.key(4102), n=S["scenes"],
-                                  size=384)
-        ids = [f"{1710000000 + i}" for i in range(S["scenes"])]
-        write_scenes(os.path.join(scene_root, "src"),
-                     os.path.join(scene_root, "masks"),
-                     np.asarray(ds_te["imgs"]), np.asarray(ds_te["labels"]),
-                     ids)
+        real_src = os.path.join("datasets", "zy3_scenes", "src")
+        real_masks = os.path.join("datasets", "zy3_scenes", "masks")
+        if (list_scene_files(real_src)
+                and list_scene_files(real_masks)):
+            # real raw scenes dropped at the documented path: consume them
+            # (test_pre_processing_on_zy3_testset_20240607.py:506-520 reads
+            # the raw testset50 directory the same way)
+            scene_root = os.path.dirname(real_src)
+            src_files = list_scene_files(real_src)
+            mask_files = list_scene_files(real_masks)
+            ids = [id_from_filename(f) for f in src_files]
+            comp = "reference-comparable (real ZY-3 scenes)"
+        else:
+            scene_root = os.path.join(out_root, "onramp")
+            ds_te, _ = synthesize_zy3(jax.random.key(4102), n=S["scenes"],
+                                      size=S["scene_size"])
+            ids = [f"{1710000000 + i}" for i in range(S["scenes"])]
+            write_scenes(os.path.join(scene_root, "src"),
+                         os.path.join(scene_root, "masks"),
+                         np.asarray(ds_te["imgs"]),
+                         np.asarray(ds_te["labels"]), ids)
+            src_files = list_scene_files(os.path.join(scene_root, "src"))
+            mask_files = list_scene_files(os.path.join(scene_root, "masks"))
+            comp = "synthetic-data"
         arch, params, bn, _ = load_arch_auto(zy3_ckpt["path"])
-        src_files = list_scene_files(os.path.join(scene_root, "src"))
-        mask_files = list_scene_files(os.path.join(scene_root, "masks"))
         gids = ["zy3_test_" + i for i in ids]
         groups = {g: [gids[i] for i in range(gi, len(gids), 3)]
                   for gi, g in enumerate(GROUP_NAMES)}
         best, rows = choose(params, bn, src_files, mask_files,
-                            groups=groups, policy=policy, progress=False)
+                            groups=groups, policy=policy, progress=False,
+                            resize_to=S["resize"], crop=S["crop"])
         mean_acc = float(np.mean([r["acc"] for r in rows]))
         mean_miou = float(np.mean([r["miou"] for r in rows]))
         base_acc = float(np.mean([r["base_acc"] for r in rows])) \
             if "base_acc" in rows[0] else None
+        base_miou = float(np.mean([r["base_miou"] for r in rows])) \
+            if "base_miou" in rows[0] else None
         picked = sorted({r["opt"] for r in rows})
-        print(f"  selected options {picked}: acc {mean_acc:.4f} "
-              f"miou {mean_miou:.4f} after pre-processing")
+        print(f"  selected options {picked}: acc "
+              f"{base_acc:.4f} -> {mean_acc:.4f} miou "
+              f"{base_miou:.4f} -> {mean_miou:.4f} after pre-processing")
         return {"acc_after": round(mean_acc, 4),
                 "miou_after": round(mean_miou, 4),
-                "acc_before": base_acc,
-                "options_selected": picked}
+                "acc_before": round(base_acc, 4),
+                "miou_before": round(base_miou, 4),
+                "options_selected": picked,
+                "data": scene_root, "comparability": comp}
 
     _stage(report, "choose_preprocess", choose_preprocess)
 
@@ -353,44 +399,55 @@ def _write_md(report, out_root):
         "One command (`python -m onet_tpu.run reproduce --scale %s`) chains"
         % report["scale"],
         "the reference's entire published recipe; every number below sits",
-        "beside its reference anchor. ZY-3/NAU stages run on schema-exact",
-        "synthetic stand-ins when the real .pt files are absent",
-        "(RESULTS.md data caveat).",
+        "beside its reference anchor. The comparability column flags which",
+        "rows ran on the reference's own data protocol (the simulated-",
+        "clutter stages use the same published generator recipe the",
+        "reference trains on) vs schema-exact synthetic stand-ins for the",
+        "real-imagery workloads (RESULTS.md data caveat) — stand-in rows",
+        "prove the pipeline, NOT the published figure.",
         "",
-        "| stage | ours | reference anchor |",
-        "|---|---|---|",
+        "| stage | ours | comparability | reference anchor |",
+        "|---|---|---|---|",
     ]
 
-    def row(name, ours):
-        lines.append(f"| {name} | {ours} | {st[name]['anchor']} |")
+    # Simulated-clutter stages run the reference's own generator protocol;
+    # real-imagery stages carry whatever the stage detected at run time.
+    SIM_COMP = "reference-comparable (published simulator protocol)"
 
-    row("gen-data", f"{st['gen_data']['frames']} frames -> "
-                    f"`{os.path.basename(st['gen_data']['file'])}`")
+    def row(key, label, ours):
+        comp = st[key].get("comparability", SIM_COMP)
+        lines.append(f"| {label} | {ours} | {comp} | {st[key]['anchor']} |")
+
+    row("gen_data", "gen-data",
+        f"{st['gen_data']['frames']} frames -> "
+        f"`{os.path.basename(st['gen_data']['file'])}`")
     for k, label in (("sim_low", "simclutter PSNR0-2"),
                      ("sim_high", "simclutter PSNR5-10")):
         e = st[k]["final_eval"]
-        row(label, f"acc {e['acc']} miou {e['miou']} dr {e['dr']} "
-                   f"far {e['far']}")
+        row(k, label, f"acc {e['acc']} miou {e['miou']} dr {e['dr']} "
+                      f"far {e['far']}")
     for name, rep in st["sweep"].items():
-        if name in ("seconds", "anchor"):
+        if name in ("seconds", "anchor", "comparability"):
             continue
         a = rep["ave"]
-        row(f"per-PSNR verify ({name})",
+        row("sweep", f"per-PSNR verify ({name})",
             f"ave acc {a['acc']} miou {a['miou']} dr {a['dr']} "
             f"far {a['far']}")
     a = st["two_stage"]["ave"]
-    row("two-stage", f"stage1 acc {a['stage1']['acc']} far "
-                     f"{a['stage1']['far']} -> stage2 acc "
-                     f"{a['stage2']['acc']} far {a['stage2']['far']}")
+    row("two_stage", "two-stage",
+        f"stage1 acc {a['stage1']['acc']} far "
+        f"{a['stage1']['far']} -> stage2 acc "
+        f"{a['stage2']['acc']} far {a['stage2']['far']}")
     for m, v in st["nau"]["methods"].items():
-        row(f"NAU transfer — {m}",
+        row("nau", f"NAU transfer — {m}",
             f"acc {v['acc']} miou {v['miou']} dr {v['dr']} far {v['far']}")
     e = st["zy3"]["final_eval"]
-    row("zy3 (%d epochs)" % report["params"]["zy3_epochs"],
+    row("zy3", "zy3 (%d epochs)" % report["params"]["zy3_epochs"],
         f"acc {e['acc']} miou {e['miou']}")
     c = st["choose_preprocess"]
-    row("preprocess selection",
-        f"acc {c['acc_after']} miou {c['miou_after']} "
+    row("choose_preprocess", "preprocess selection",
+        f"acc {c['acc_before']} -> {c['acc_after']} "
+        f"miou {c['miou_before']} -> {c['miou_after']} "
         f"(options {c['options_selected']})")
     lines += [
         "",
@@ -398,7 +455,9 @@ def _write_md(report, out_root):
         + ", ".join(f"{k} {v['seconds']}s" for k, v in st.items()),
         "",
         "Data provenance: " + "; ".join(
-            f"{k}: {st[k]['data']}" for k in ("nau", "zy3") if "data" in st[k]),
+            f"{k}: {st[k]['data']}"
+            for k in ("nau", "zy3", "choose_preprocess")
+            if "data" in st[k]),
     ]
     with open(os.path.join(out_root, "REPRODUCE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
