@@ -16,7 +16,8 @@ from jax import lax
 
 from onet_tpu.core.policy import Policy, BF16_COMPUTE
 from onet_tpu.models.layers import (
-    BN_EPS, max_pool_2x2, conv_transpose_2x2, relu, bd2, bd2_skip_up)
+    BN_EPS, max_pool_2x2, conv_transpose_2x2, relu, bd2, bd2_skip_up,
+    interleave_branches, restack_branches)
 from onet_tpu.models.onet import channel_dot, is_weight_shared
 from onet_tpu.ops.normalize import complement
 
@@ -103,15 +104,16 @@ def unet_infer_stacked(fp, x, *, policy: Policy = BF16_COMPUTE):
     """Folded forward with the branches channel-stacked at the 64-channel
     levels (see unet.unet_apply_stacked for the rationale; numerics exact).
     ``x`` is [B, H, W, 2*cin]; returns stacked (local, glob) [B,H,W,128]."""
-    b = x.shape[0]
     h = _cbr_stacked(x, fp["inc"]["conv1"], policy)
     x1s = _cbr_stacked(h, fp["inc"]["conv2"], policy)
     hp = max_pool_2x2(x1s)
     c = x1s.shape[-1] // 2
     # down1.conv1 stacked as in unet_apply_stacked; unstack on its output
     h = _cbr_stacked(hp, fp["down1"]["conv1"], policy)
-    c1 = h.shape[-1] // 2
-    xb = jnp.concatenate([h[..., :c1], h[..., c1:]], axis=0)   # -> [2B,...]
+    # interleaved unstack: shard-local under dp batch sharding (see
+    # unet.unet_apply_stacked; no BN here, so only the two restack sites
+    # change — folded inference has no layout-sensitive statistics)
+    xb = interleave_branches(h)                                # -> [2B,...]
     feats = [None]
     hcur = _conv_bias_relu(xb, fp["down1"]["conv2"], policy)
     feats.append(hcur)
@@ -130,7 +132,7 @@ def unet_infer_stacked(fp, x, *, policy: Policy = BF16_COMPUTE):
                             (dw // 2, dw - dw // 2), (0, 0)))
         y = _dconv_infer(fp[f"up{i}"]["conv"],
                          jnp.concatenate([skip, y], axis=-1), policy)
-    y2s = jnp.concatenate([y[:b], y[b:]], axis=-1)             # restack
+    y2s = restack_branches(y)                                  # restack
     up = fp["up4"]["up"]
     u = conv_transpose_2x2(y2s, bd2(up["w"]), jnp.tile(up["b"], 2),
                            policy=policy)

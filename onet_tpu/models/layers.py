@@ -239,6 +239,36 @@ def bd2(w):
     return jnp.concatenate([top, bot], axis=2)
 
 
+def interleave_branches(h):
+    """Channel-stacked [N, H, W, 2C] -> batch-INTERLEAVED [2N, H, W, C]
+    (sample-major: out[2i + b] = branch b of sample i).
+
+    This is the dp-friendly unstack: when the batch axis is sharded over a
+    mesh's data axis, every output element stays on the device that owns
+    its source sample, so plain-jit GSPMD inserts NO resharding
+    collectives. The block form (concat [branch0 batch | branch1 batch])
+    instead splits each device's shard across the array midpoint and was
+    measured redistributing 3.7 GB/step of activations at dp8
+    (runs/project_v5e8.py, RESULTS.md round 4).
+    """
+    n, hh, ww, c2 = h.shape
+    c = c2 // 2
+    return (h.reshape(n, hh, ww, 2, c)
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(2 * n, hh, ww, c))
+
+
+def restack_branches(y):
+    """Batch-interleaved [2N, H, W, C] -> channel-stacked [N, H, W, 2C]
+    (lane blocks [branch0 | branch1] — the bd2 convention). Inverse of
+    interleave_branches; equally local under batch sharding."""
+    n2, hh, ww, c = y.shape
+    n = n2 // 2
+    return (y.reshape(n, 2, hh, ww, c)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(n, hh, ww, 2 * c))
+
+
 def bd2_skip_up(w, c_skip: int):
     """bd2 for the decoder conv whose per-branch input is concat(skip, up)
     but whose channel-stacked global input is laid out [s1|s2|u1|u2]
@@ -256,8 +286,26 @@ def bd2_skip_up(w, c_skip: int):
     return jnp.concatenate(rows, axis=2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _bn_train(x, scale, bias, groups, eps):
+def _group_view(groups, interleaved):
+    """(reshape axes, reduce axes, [G,C]-broadcaster) for a grouped batch.
+
+    Block layout reshapes [N,...] -> [G, N/G, ...] (branch b = contiguous
+    slab b); interleaved layout — what interleave_branches emits, the
+    dp-local form — reshapes to [N/G, G, ...] (branch b = every G-th
+    sample starting at b). Group index ALWAYS means branch b either way,
+    so the running-stats EMA order is layout-independent.
+    """
+    if interleaved:
+        return (lambda t, n, h, w, c, g: t.reshape(n // g, g, h, w, c),
+                (0, 2, 3),
+                lambda t: t[None, :, None, None, :])
+    return (lambda t, n, h, w, c, g: t.reshape(g, n // g, h, w, c),
+            (1, 2, 3),
+            lambda t: t[:, None, None, None, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _bn_train(x, scale, bias, groups, eps, interleaved=False):
     """Train-mode BN core: per-branch-group statistics, shared affine.
 
     Returns (y, mean, var) with mean/var [G, C] float32 (biased variance,
@@ -270,42 +318,47 @@ def _bn_train(x, scale, bias, groups, eps):
     (x, dy) twice with no float32 activation materialization — XLA's
     automatic differentiation of the float32-upcast formulation was
     spending ~15 ms/step on convert/copy fusions at the 512^2 levels.
+
+    ``interleaved`` selects the batch-interleaved branch layout (see
+    _group_view); statistics are identical either way — only which batch
+    indices belong to which branch changes.
     """
-    y, mean, var, _ = _bn_train_fwd_impl(x, scale, bias, groups, eps)
+    y, mean, var, _ = _bn_train_fwd_impl(x, scale, bias, groups, eps,
+                                         interleaved)
     return y, mean, var
 
 
-def _bn_train_fwd_impl(x, scale, bias, groups, eps):
+def _bn_train_fwd_impl(x, scale, bias, groups, eps, interleaved=False):
     n, h, w, c = x.shape
     g = groups
-    xg = x.reshape(g, n // g, h, w, c)
-    xf = xg.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2, 3))                          # [G, C]
-    var = jnp.mean(jnp.square(xf), axis=(1, 2, 3)) - jnp.square(mean)
+    view, red, bcast = _group_view(g, interleaved)
+    xf = view(x, n, h, w, c, g).astype(jnp.float32)
+    mean = jnp.mean(xf, axis=red)                                # [G, C]
+    var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
     inv = lax.rsqrt(var + eps)                                    # [G, C]
-    bcast = lambda t: t[:, None, None, None, :]
     y = (xf - bcast(mean)) * bcast(inv * scale.astype(jnp.float32))
     y = (y + bias.astype(jnp.float32)).reshape(n, h, w, c).astype(x.dtype)
     return y, mean, var, inv
 
 
-def _bn_train_fwd(x, scale, bias, groups, eps):
-    y, mean, var, inv = _bn_train_fwd_impl(x, scale, bias, groups, eps)
+def _bn_train_fwd(x, scale, bias, groups, eps, interleaved=False):
+    y, mean, var, inv = _bn_train_fwd_impl(x, scale, bias, groups, eps,
+                                           interleaved)
     return (y, mean, var), (x, scale, mean, inv)
 
 
-def _bn_train_bwd(groups, eps, res, cts):
+def _bn_train_bwd(groups, eps, interleaved, res, cts):
     dy, _dmean, _dvar = cts            # running-stats path: zero cotangents
     x, scale, mean, inv = res
     n, h, w, c = x.shape
     g = groups
     cnt = (n // g) * h * w
-    xg = x.reshape(g, n // g, h, w, c).astype(jnp.float32)
-    dyg = dy.reshape(g, n // g, h, w, c).astype(jnp.float32)
-    bcast = lambda t: t[:, None, None, None, :]
+    view, red, bcast = _group_view(g, interleaved)
+    xg = view(x, n, h, w, c, g).astype(jnp.float32)
+    dyg = view(dy, n, h, w, c, g).astype(jnp.float32)
     xhat = (xg - bcast(mean)) * bcast(inv)
-    sum_dy = jnp.sum(dyg, axis=(1, 2, 3))                        # [G, C]
-    sum_dy_xhat = jnp.sum(dyg * xhat, axis=(1, 2, 3))            # [G, C]
+    sum_dy = jnp.sum(dyg, axis=red)                              # [G, C]
+    sum_dy_xhat = jnp.sum(dyg * xhat, axis=red)                  # [G, C]
     sf = scale.astype(jnp.float32)
     dx = (bcast(inv * sf)
           * (dyg - bcast(sum_dy / cnt) - xhat * bcast(sum_dy_xhat / cnt)))
@@ -371,7 +424,7 @@ _bn_train_ch.defvjp(_bn_train_ch_fwd, _bn_train_ch_bwd)
 
 def batch_norm(x, params, state, *, train: bool, groups: int = 1,
                momentum: float = BN_MOMENTUM, eps: float = BN_EPS,
-               stacked: bool = False):
+               stacked: bool = False, interleaved: bool = False):
     """BatchNorm2d with branch-group statistics.
 
     ``groups=G`` treats the leading batch axis as G stacked branches of
@@ -379,6 +432,9 @@ def batch_norm(x, params, state, *, train: bool, groups: int = 1,
     statistics — numerically identical to running the branches through the
     layer sequentially (what the weight-shared reference does), while the
     surrounding convs still see one fused [N, H, W, C] batch.
+    ``interleaved=True`` flips the branch layout from contiguous slabs to
+    sample-major interleave (branch b = batch indices i*G + b — what
+    interleave_branches emits; local under dp batch sharding).
 
     ``stacked=True`` instead treats the CHANNEL axis as G stacked branch
     blocks of C channels each (x is [N, H, W, G*C], params/state stay [C]):
@@ -406,13 +462,14 @@ def batch_norm(x, params, state, *, train: bool, groups: int = 1,
                                         groups, eps)
         elif USE_CUSTOM_BN_VJP:
             y, mean, var = _bn_train(x, params["scale"], params["bias"],
-                                     groups, eps)
+                                     groups, eps, interleaved)
         else:
-            xg = x.reshape(groups, n // groups, h, w, c).astype(jnp.float32)
-            mean = jnp.mean(xg, axis=(1, 2, 3))
-            var = jnp.mean(jnp.square(xg), axis=(1, 2, 3)) - jnp.square(mean)
+            view, red, bcast = _group_view(groups, interleaved)
+            xg = view(x, n, h, w, c, groups).astype(jnp.float32)
+            mean = jnp.mean(xg, axis=red)
+            var = jnp.mean(jnp.square(xg), axis=red) - jnp.square(mean)
             inv = lax.rsqrt(var + eps)
-            y = (xg - mean[:, None, None, None, :]) * inv[:, None, None, None, :]
+            y = (xg - bcast(mean)) * bcast(inv)
             y = y.reshape(n, h, w, c)
             y = (y * params["scale"].astype(jnp.float32)
                  + params["bias"].astype(jnp.float32)).astype(x.dtype)

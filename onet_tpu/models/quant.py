@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from onet_tpu.models.layers import bd2, bd2_skip_up
+from onet_tpu.models.layers import (bd2, bd2_skip_up,
+                                    interleave_branches,
+                                    restack_branches)
 from onet_tpu.models.onet import stacked_head
 from onet_tpu.ops.normalize import complement
 
@@ -91,13 +93,11 @@ def _stacked_folded_with_taps(I, fp, x, bias, policy, tap):
     Concat sites tap each segment separately ('<site>:skip'/'<site>:up')."""
     xd = complement(x, bias)
     xx = jnp.concatenate([x, xd], axis=-1)
-    b = xx.shape[0]
     h = I._cbr_stacked(tap("inc.conv1", xx), fp["inc"]["conv1"], policy)
     x1s = I._cbr_stacked(tap("inc.conv2", h), fp["inc"]["conv2"], policy)
     hp = I.max_pool_2x2(x1s)
     h = I._cbr_stacked(tap("down1.conv1", hp), fp["down1"]["conv1"], policy)
-    c1 = h.shape[-1] // 2
-    xb = jnp.concatenate([h[..., :c1], h[..., c1:]], axis=0)
+    xb = interleave_branches(h)   # dp-shard-local unstack (models/layers)
     feats = [None]
     hcur = I._conv_bias_relu(tap("down1.conv2", xb), fp["down1"]["conv2"],
                              policy)
@@ -121,7 +121,7 @@ def _stacked_folded_with_taps(I, fp, x, bias, policy, tap):
         y = I._conv_bias_relu(y, fp[f"up{i}"]["conv"]["conv1"], policy)
         y = I._conv_bias_relu(tap(f"up{i}.conv2", y),
                               fp[f"up{i}"]["conv"]["conv2"], policy)
-    y2s = jnp.concatenate([y[:x.shape[0]], y[x.shape[0]:]], axis=-1)
+    y2s = restack_branches(y)
     up = fp["up4"]["up"]
     u = I.conv_transpose_2x2(tap("up4.up", y2s), bd2(up["w"]),
                              jnp.tile(up["b"], 2), policy=policy)
@@ -323,7 +323,6 @@ def onet_infer_q(q, x, *, bias: float = 0.0, head_bf16: bool = True):
     s = q["scales"]
     xd = complement(x, bias)
     xx = jnp.concatenate([x, xd], axis=-1)
-    b = x.shape[0]
     xq = jnp.clip(jnp.round(xx / q["in_scale"]), 0.0, QMAX).astype(jnp.int8)
     h = _cbr_q(xq, q["inc.conv1"], s["inc.conv2"])
     if head_bf16:
@@ -337,8 +336,7 @@ def onet_infer_q(q, x, *, bias: float = 0.0, head_bf16: bool = True):
     # down1.conv1's output is channel-stacked; its consumer down1.conv2 is
     # calibrated on the batch-unstacked tensor, so tile its [C] scale
     h = _cbr_q(hp, q["down1.conv1"], jnp.tile(s["down1.conv2"], 2))
-    c1 = h.shape[-1] // 2
-    xb = jnp.concatenate([h[..., :c1], h[..., c1:]], axis=0)
+    xb = interleave_branches(h)   # same dp-local layout as calibration
     feats = [None]
     skip_scale = {1: s["up3.conv1:skip"], 2: s["up2.conv1:skip"],
                   3: s["up1.conv1:skip"]}
@@ -370,7 +368,7 @@ def onet_infer_q(q, x, *, bias: float = 0.0, head_bf16: bool = True):
             # restack to channel form BEFORE requanting: up4.up's per-channel
             # scales are calibrated on the channel-stacked tensor and the two
             # branch blocks requantize differently
-            y2f = jnp.concatenate([yf[:b], yf[b:]], axis=-1)
+            y2f = restack_branches(yf)
             y = _requant(y2f, s["up4.up"])
     uf = _convT_q(y, q["up4.up"])
     uq = _requant_signed(uf, s["up4.conv1:up"])

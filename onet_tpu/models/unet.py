@@ -96,22 +96,28 @@ def param_count(params) -> int:
 # apply
 # ---------------------------------------------------------------------------
 
-def _double_conv(params, state, x, *, train, groups, policy, ops=DEFAULT_OPS):
+def _double_conv(params, state, x, *, train, groups, policy, ops=DEFAULT_OPS,
+                 interleaved=False):
     x = ops.conv3x3(x, params["conv1"]["w"], policy=policy)
-    x, s1 = ops.batch_norm(x, params["bn1"], state["bn1"], train=train, groups=groups)
+    x, s1 = ops.batch_norm(x, params["bn1"], state["bn1"], train=train,
+                           groups=groups, interleaved=interleaved)
     x = L.relu(x)
     x = ops.conv3x3(x, params["conv2"]["w"], policy=policy)
-    x, s2 = ops.batch_norm(x, params["bn2"], state["bn2"], train=train, groups=groups)
+    x, s2 = ops.batch_norm(x, params["bn2"], state["bn2"], train=train,
+                           groups=groups, interleaved=interleaved)
     x = L.relu(x)
     return x, {"bn1": s1, "bn2": s2}
 
 
-def _down(params, state, x, *, train, groups, policy, ops=DEFAULT_OPS):
+def _down(params, state, x, *, train, groups, policy, ops=DEFAULT_OPS,
+          interleaved=False):
     return _double_conv(params, state, ops.max_pool(x), train=train,
-                        groups=groups, policy=policy, ops=ops)
+                        groups=groups, policy=policy, ops=ops,
+                        interleaved=interleaved)
 
 
-def _up(params, state, x, skip, *, train, groups, policy, ops=DEFAULT_OPS):
+def _up(params, state, x, skip, *, train, groups, policy, ops=DEFAULT_OPS,
+        interleaved=False):
     x = ops.conv_transpose(x, params["up"]["w"], params["up"]["b"], policy=policy)
     dh = skip.shape[1] - x.shape[1]
     dw = skip.shape[2] - x.shape[2]
@@ -119,7 +125,8 @@ def _up(params, state, x, skip, *, train, groups, policy, ops=DEFAULT_OPS):
         x = jnp.pad(x, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
     x = jnp.concatenate([skip, x], axis=-1)  # reference concat order: [skip, up]
     y, s = _double_conv(params["conv"], state["conv"], x, train=train,
-                        groups=groups, policy=policy, ops=ops)
+                        groups=groups, policy=policy, ops=ops,
+                        interleaved=interleaved)
     return y, {"conv": s}
 
 
@@ -159,34 +166,46 @@ def unet_apply_stacked(params, state, x, *, train: bool,
     c = x1s.shape[-1] // 2
     # down1.conv1 also runs channel-stacked (its 64-lane input would be
     # lane-padded in batched form); the unstack to batch form happens on
-    # the unpadded 128-per-branch conv1 output
+    # the unpadded 128-per-branch conv1 output. The unstack INTERLEAVES
+    # samples (branch b of sample i -> batch index 2i+b) instead of
+    # block-concatenating [branch0 batch | branch1 batch]: under plain-jit
+    # dp the block form crossed the data-axis shard boundary and GSPMD
+    # redistributed 3.7 GB/step of activations (RESULTS.md round 4); the
+    # interleaved form is shard-local. Grouped BN reads the layout via
+    # interleaved=True — statistics identical, branch EMA order unchanged.
     p1, s1d = params["down1"], state["down1"]
     h = ops.conv3x3(hp, L.bd2(p1["conv1"]["w"]), policy=policy)
     h, s1 = ops.batch_norm(h, p1["bn1"], s1d["bn1"], train=train, groups=2,
                            stacked=True)
     h = L.relu(h)
-    c1 = h.shape[-1] // 2
-    xb = jnp.concatenate([h[..., :c1], h[..., c1:]], axis=0)   # -> [2B,...]
+    xb = L.interleave_branches(h)                              # -> [2B,...]
     xb = ops.conv3x3(xb, p1["conv2"]["w"], policy=policy)
-    xb, s2 = ops.batch_norm(xb, p1["bn2"], s1d["bn2"], train=train, groups=2)
+    xb, s2 = ops.batch_norm(xb, p1["bn2"], s1d["bn2"], train=train, groups=2,
+                            interleaved=True)
     x2 = L.relu(xb)
     new_state["down1"] = {"bn1": s1, "bn2": s2}
     x3, new_state["down2"] = _down(params["down2"], state["down2"], x2,
-                                   train=train, groups=2, policy=policy, ops=ops)
+                                   train=train, groups=2, policy=policy,
+                                   ops=ops, interleaved=True)
     x3 = rs("deep", x3)
     x4, new_state["down3"] = _down(params["down3"], state["down3"], x3,
-                                   train=train, groups=2, policy=policy, ops=ops)
+                                   train=train, groups=2, policy=policy,
+                                   ops=ops, interleaved=True)
     x5, new_state["down4"] = _down(params["down4"], state["down4"], x4,
-                                   train=train, groups=2, policy=policy, ops=ops)
+                                   train=train, groups=2, policy=policy,
+                                   ops=ops, interleaved=True)
     y4, new_state["up1"] = _up(params["up1"], state["up1"], x5, x4,
-                               train=train, groups=2, policy=policy, ops=ops)
+                               train=train, groups=2, policy=policy,
+                               ops=ops, interleaved=True)
     y3, new_state["up2"] = _up(params["up2"], state["up2"], y4, x3,
-                               train=train, groups=2, policy=policy, ops=ops)
+                               train=train, groups=2, policy=policy,
+                               ops=ops, interleaved=True)
     y2, new_state["up3"] = _up(params["up3"], state["up3"], y3, x2,
-                               train=train, groups=2, policy=policy, ops=ops)
+                               train=train, groups=2, policy=policy,
+                               ops=ops, interleaved=True)
     y2 = rs("shallow", y2)
 
-    y2s = jnp.concatenate([y2[:b], y2[b:]], axis=-1)   # restack -> [B,...,256]
+    y2s = L.restack_branches(y2)                   # restack -> [B,...,256]
     up, sc = params["up4"], state["up4"]["conv"]
     u = ops.conv_transpose(y2s, L.bd2(up["up"]["w"]),
                            jnp.tile(up["up"]["b"], 2), policy=policy)

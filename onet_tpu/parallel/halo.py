@@ -110,7 +110,7 @@ def make_halo_ops(n_space: int, n_spacew: int = 1, *,
 
     def batch_norm(x, params, state, *, train: bool, groups: int = 1,
                    momentum: float = BN_MOMENTUM, eps: float = BN_EPS,
-                   stacked: bool = False):
+                   stacked: bool = False, interleaved: bool = False):
         if not train:
             return L.batch_norm(x, params, state, train=False, groups=groups,
                                 momentum=momentum, eps=eps, stacked=stacked)
@@ -122,9 +122,12 @@ def make_halo_ops(n_space: int, n_spacew: int = 1, *,
             s2 = jnp.sum(jnp.square(xf), axis=(0, 1, 2)).reshape(groups, c)
             cnt_loc = n * h * w
         else:
-            xg = xf.reshape(groups, n // groups, h, w, c)
-            s1 = jnp.sum(xg, axis=(1, 2, 3))                       # [G, C]
-            s2 = jnp.sum(jnp.square(xg), axis=(1, 2, 3))
+            # block or sample-interleaved branch layout (layers._group_view
+            # semantics: group index = branch either way)
+            view, red, bcast = L._group_view(groups, interleaved)
+            xg = view(xf, n, h, w, c, groups)
+            s1 = jnp.sum(xg, axis=red)                             # [G, C]
+            s2 = jnp.sum(jnp.square(xg), axis=red)
             cnt_loc = (n // groups) * h * w
         s1 = lax.psum(s1, bn_axes)
         s2 = lax.psum(s2, bn_axes)
@@ -138,7 +141,6 @@ def make_halo_ops(n_space: int, n_spacew: int = 1, *,
             y = ((xf - mean.reshape(-1)) * (inv.reshape(-1)
                  * jnp.tile(sf, groups)) + jnp.tile(bf, groups))
         else:
-            bcast = lambda t: t[:, None, None, None, :]
             yg = ((xg - bcast(mean)) * bcast(inv * sf) + bf)
             y = yg.reshape(n, h, w, c)
         y = y.astype(x.dtype)

@@ -110,3 +110,64 @@ def test_stacked_head_matches_reshape_reduce():
     np.testing.assert_allclose(np.asarray(lsum),
                                np.asarray(jnp.sum(lf, -1)),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_interleave_restack_roundtrip():
+    """interleave_branches/restack_branches are exact inverses and place
+    branch b of sample i at batch index 2i+b (the dp-shard-local layout
+    that replaced the block concat, round-4 verdict task 3)."""
+    h = jax.random.uniform(jax.random.key(3), (4, 6, 6, 10))
+    c = 5
+    il = L.interleave_branches(h)
+    assert il.shape == (8, 6, 6, 5)
+    for i in range(4):
+        np.testing.assert_array_equal(il[2 * i], h[i, ..., :c])
+        np.testing.assert_array_equal(il[2 * i + 1], h[i, ..., c:])
+    np.testing.assert_array_equal(L.restack_branches(il), h)
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_interleaved_bn_matches_block(train):
+    """Grouped BN on the interleaved layout == grouped BN on the block
+    layout after permuting the batch axis: same y (permuted), same new
+    running stats (same [G,C] statistics -> same EMA order)."""
+    n, hw, c = 6, 5, 7
+    key = jax.random.key(4)
+    x_block = jax.random.normal(key, (2 * n, hw, hw, c))  # [br0 | br1]
+    perm = np.arange(2 * n).reshape(2, n).T.reshape(-1)   # block -> interleaved
+    x_il = x_block[perm]
+    p, s = L.bn_init(c)
+    p = {"scale": p["scale"] + 0.3, "bias": p["bias"] - 0.1}
+    y_b, ns_b = L.batch_norm(x_block, p, s, train=train, groups=2)
+    y_i, ns_i = L.batch_norm(x_il, p, s, train=train, groups=2,
+                             interleaved=True)
+    np.testing.assert_allclose(np.asarray(y_i), np.asarray(y_b[perm]),
+                               rtol=0, atol=1e-6)
+    for k in ns_b:
+        np.testing.assert_allclose(np.asarray(ns_i[k]), np.asarray(ns_b[k]),
+                                   rtol=0, atol=1e-6)
+
+
+def test_interleaved_bn_gradients_match_block():
+    n, hw, c = 4, 5, 7
+    x_block = jax.random.normal(jax.random.key(5), (2 * n, hw, hw, c))
+    perm = np.arange(2 * n).reshape(2, n).T.reshape(-1)
+    x_il = x_block[perm]
+    p, s = L.bn_init(c)
+
+    def loss_block(xx, pp):
+        y, _ = L.batch_norm(xx, pp, s, train=True, groups=2)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_il(xx, pp):
+        y, _ = L.batch_norm(xx, pp, s, train=True, groups=2,
+                            interleaved=True)
+        return jnp.sum(jnp.sin(y))
+
+    gb_x, gb_p = jax.grad(loss_block, argnums=(0, 1))(x_block, p)
+    gi_x, gi_p = jax.grad(loss_il, argnums=(0, 1))(x_il, p)
+    np.testing.assert_allclose(np.asarray(gi_x), np.asarray(gb_x[perm]),
+                               rtol=0, atol=1e-5)
+    for k in gb_p:
+        np.testing.assert_allclose(np.asarray(gi_p[k]), np.asarray(gb_p[k]),
+                                   rtol=0, atol=1e-5)
