@@ -100,20 +100,27 @@ def _cbr_stacked(x, pc, policy, *, wmap=bd2):
     return relu(y + jnp.tile(pc["b"], 2).astype(y.dtype))
 
 
-def unet_infer_stacked(fp, x, *, policy: Policy = BF16_COMPUTE):
+def unet_infer_stacked(fp, x, *, policy: Policy = BF16_COMPUTE,
+                       dp_local: bool = False):
     """Folded forward with the branches channel-stacked at the 64-channel
     levels (see unet.unet_apply_stacked for the rationale; numerics exact).
-    ``x`` is [B, H, W, 2*cin]; returns stacked (local, glob) [B,H,W,128]."""
+    ``x`` is [B, H, W, 2*cin]; returns stacked (local, glob) [B,H,W,128].
+
+    ``dp_local=True`` interleaves the two batch restack sites (shard-local
+    under plain-jit dp; the shard_map serving path never needs it). No BN
+    here, so layout touches nothing else."""
+    b = x.shape[0]
     h = _cbr_stacked(x, fp["inc"]["conv1"], policy)
     x1s = _cbr_stacked(h, fp["inc"]["conv2"], policy)
     hp = max_pool_2x2(x1s)
     c = x1s.shape[-1] // 2
     # down1.conv1 stacked as in unet_apply_stacked; unstack on its output
     h = _cbr_stacked(hp, fp["down1"]["conv1"], policy)
-    # interleaved unstack: shard-local under dp batch sharding (see
-    # unet.unet_apply_stacked; no BN here, so only the two restack sites
-    # change — folded inference has no layout-sensitive statistics)
-    xb = interleave_branches(h)                                # -> [2B,...]
+    if dp_local:
+        xb = interleave_branches(h)                            # -> [2B,...]
+    else:
+        c1 = h.shape[-1] // 2
+        xb = jnp.concatenate([h[..., :c1], h[..., c1:]], axis=0)
     feats = [None]
     hcur = _conv_bias_relu(xb, fp["down1"]["conv2"], policy)
     feats.append(hcur)
@@ -132,7 +139,10 @@ def unet_infer_stacked(fp, x, *, policy: Policy = BF16_COMPUTE):
                             (dw // 2, dw - dw // 2), (0, 0)))
         y = _dconv_infer(fp[f"up{i}"]["conv"],
                          jnp.concatenate([skip, y], axis=-1), policy)
-    y2s = restack_branches(y)                                  # restack
+    if dp_local:
+        y2s = restack_branches(y)                              # restack
+    else:
+        y2s = jnp.concatenate([y[:b], y[b:]], axis=-1)
     up = fp["up4"]["up"]
     u = conv_transpose_2x2(y2s, bd2(up["w"]), jnp.tile(up["b"], 2),
                            policy=policy)
@@ -151,8 +161,12 @@ def unet_infer_stacked(fp, x, *, policy: Policy = BF16_COMPUTE):
 
 def onet_infer(folded, x, *, bias: float = 0.0,
                policy: Policy = BF16_COMPUTE, channel_stack: bool = None,
-               pair_pack: bool = None):
-    """Folded-forward -> (S [B,H,W,2], labels [B,H,W])."""
+               pair_pack: bool = None, dp_local: bool = False):
+    """Folded-forward -> (S [B,H,W,2], labels [B,H,W]).
+
+    ``dp_local=True``: shard-local twin restack for plain-jit dp over a
+    mesh (see unet_infer_stacked); the shard_map serving path (serve
+    --dp) keeps the default."""
     from onet_tpu.models.onet import CHANNEL_STACK, PAIR_PACK, stacked_head
 
     xd = complement(x, bias)
@@ -169,7 +183,8 @@ def onet_infer(folded, x, *, bias: float = 0.0,
             return s, jnp.argmax(s, axis=-1)
     if "down" not in folded and stack:
         xx = jnp.concatenate([x, xd], axis=-1)
-        loc, glob = unet_infer_stacked(folded["top"], xx, policy=policy)
+        loc, glob = unet_infer_stacked(folded["top"], xx, policy=policy,
+                                       dp_local=dp_local)
         v, _ = stacked_head(loc, glob)
         s = jax.nn.softmax(v, axis=-1)
         return s, jnp.argmax(s, axis=-1)

@@ -134,8 +134,13 @@ def stacked_head(loc, glob):
 def onet_forward(params, state, x, *, train: bool, bias: float = 0.0,
                  policy: Policy = DEFAULT, reshard=None,
                  channel_stack: bool = None, pair_pack: bool = None,
-                 ops=DEFAULT_OPS):
-    """Forward pass on an NHWC batch in [0, 1]. Returns (OnetOutput, state)."""
+                 ops=DEFAULT_OPS, dp_local: bool = False):
+    """Forward pass on an NHWC batch in [0, 1]. Returns (OnetOutput, state).
+
+    ``dp_local=True`` interleaves the twin-branch batch restack so the
+    stacked path stays shard-local under a sharded batch axis (see
+    unet_apply_stacked; train/steps.py sets it when built over a mesh).
+    """
     xd = complement(x, bias)
     stack = CHANNEL_STACK if channel_stack is None else channel_stack
     wp = PAIR_PACK if pair_pack is None else pair_pack
@@ -159,7 +164,7 @@ def onet_forward(params, state, x, *, train: bool, bias: float = 0.0,
         xx = jnp.concatenate([x, xd], axis=-1)  # [B, H, W, 2C]
         (loc, glob), new_top = unet_apply_stacked(
             params["top"], state["top"], xx, train=train, policy=policy,
-            reshard=reshard, ops=ops)
+            reshard=reshard, ops=ops, dp_local=dp_local)
         c = loc.shape[-1] // 2
         # head reductions directly on the stacked layout: one fused read of
         # (loc, glob) yields both branch dots and both channel sums

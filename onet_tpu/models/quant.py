@@ -93,11 +93,17 @@ def _stacked_folded_with_taps(I, fp, x, bias, policy, tap):
     Concat sites tap each segment separately ('<site>:skip'/'<site>:up')."""
     xd = complement(x, bias)
     xx = jnp.concatenate([x, xd], axis=-1)
+    b = xx.shape[0]
     h = I._cbr_stacked(tap("inc.conv1", xx), fp["inc"]["conv1"], policy)
     x1s = I._cbr_stacked(tap("inc.conv2", h), fp["inc"]["conv2"], policy)
     hp = I.max_pool_2x2(x1s)
     h = I._cbr_stacked(tap("down1.conv1", hp), fp["down1"]["conv1"], policy)
-    xb = interleave_branches(h)   # dp-shard-local unstack (models/layers)
+    # block restack (the serving default). Calibration stats are max-abs
+    # over the whole tensor / per channel, so they are invariant to the
+    # batch permutation dp_local=True applies at execution time — one
+    # calibration serves both layouts.
+    c1 = h.shape[-1] // 2
+    xb = jnp.concatenate([h[..., :c1], h[..., c1:]], axis=0)
     feats = [None]
     hcur = I._conv_bias_relu(tap("down1.conv2", xb), fp["down1"]["conv2"],
                              policy)
@@ -121,7 +127,7 @@ def _stacked_folded_with_taps(I, fp, x, bias, policy, tap):
         y = I._conv_bias_relu(y, fp[f"up{i}"]["conv"]["conv1"], policy)
         y = I._conv_bias_relu(tap(f"up{i}.conv2", y),
                               fp[f"up{i}"]["conv"]["conv2"], policy)
-    y2s = restack_branches(y)
+    y2s = jnp.concatenate([y[:b], y[b:]], axis=-1)
     up = fp["up4"]["up"]
     u = I.conv_transpose_2x2(tap("up4.up", y2s), bd2(up["w"]),
                              jnp.tile(up["b"], 2), policy=policy)
@@ -309,7 +315,8 @@ def _convT_q(xq, site):
     ).astype(jnp.float32) * site["sw"] + site["b"]
 
 
-def onet_infer_q(q, x, *, bias: float = 0.0, head_bf16: bool = True):
+def onet_infer_q(q, x, *, bias: float = 0.0, head_bf16: bool = True,
+                 dp_local: bool = False):
     """Int8 serving forward: [B, H, W, cin] in [0, 1] ->
     (S [B, H, W, 2] f32, labels [B, H, W]). Weight-shared stacked graph.
 
@@ -323,6 +330,7 @@ def onet_infer_q(q, x, *, bias: float = 0.0, head_bf16: bool = True):
     s = q["scales"]
     xd = complement(x, bias)
     xx = jnp.concatenate([x, xd], axis=-1)
+    b = x.shape[0]
     xq = jnp.clip(jnp.round(xx / q["in_scale"]), 0.0, QMAX).astype(jnp.int8)
     h = _cbr_q(xq, q["inc.conv1"], s["inc.conv2"])
     if head_bf16:
@@ -336,7 +344,11 @@ def onet_infer_q(q, x, *, bias: float = 0.0, head_bf16: bool = True):
     # down1.conv1's output is channel-stacked; its consumer down1.conv2 is
     # calibrated on the batch-unstacked tensor, so tile its [C] scale
     h = _cbr_q(hp, q["down1.conv1"], jnp.tile(s["down1.conv2"], 2))
-    xb = interleave_branches(h)   # same dp-local layout as calibration
+    if dp_local:                  # shard-local restack under plain-jit dp
+        xb = interleave_branches(h)
+    else:
+        c1 = h.shape[-1] // 2
+        xb = jnp.concatenate([h[..., :c1], h[..., c1:]], axis=0)
     feats = [None]
     skip_scale = {1: s["up3.conv1:skip"], 2: s["up2.conv1:skip"],
                   3: s["up1.conv1:skip"]}
@@ -368,7 +380,8 @@ def onet_infer_q(q, x, *, bias: float = 0.0, head_bf16: bool = True):
             # restack to channel form BEFORE requanting: up4.up's per-channel
             # scales are calibrated on the channel-stacked tensor and the two
             # branch blocks requantize differently
-            y2f = restack_branches(yf)
+            y2f = (restack_branches(yf) if dp_local else
+                   jnp.concatenate([yf[:b], yf[b:]], axis=-1))
             y = _requant(y2f, s["up4.up"])
     uf = _convT_q(y, q["up4.up"])
     uq = _requant_signed(uf, s["up4.conv1:up"])

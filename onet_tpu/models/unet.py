@@ -132,7 +132,7 @@ def _up(params, state, x, skip, *, train, groups, policy, ops=DEFAULT_OPS,
 
 def unet_apply_stacked(params, state, x, *, train: bool,
                        policy: Policy = DEFAULT, reshard=None,
-                       ops=DEFAULT_OPS):
+                       ops=DEFAULT_OPS, dp_local: bool = False):
     """Weight-shared twin pass with the branches CHANNEL-stacked at the
     64-channel 512^2-scale levels (inc, up4) and batch-stacked in between.
 
@@ -144,6 +144,18 @@ def unet_apply_stacked(params, state, x, *, train: bool,
     exact (zero off-diagonal blocks), 2x nominal conv FLOPs at those two
     levels but strictly faster end-to-end, and half the traffic for BN /
     pool / ReLU / head.
+
+    ``dp_local`` selects the batch layout of the middle (batch-stacked)
+    levels. False (default): block concat [branch0 batch | branch1 batch]
+    — the fastest single-chip form (XLA fuses the concat/slices; measured
+    74.4 vs 71.5 t/s combined). True: sample-major INTERLEAVE (branch b
+    of sample i -> batch index 2i+b, layers.interleave_branches) — under
+    a sharded batch axis the block concat crosses the data-axis shard
+    boundary and plain-jit GSPMD redistributes 3.7 GB/step of activations
+    (54.9 ms at dp8, RESULTS.md round 5); the interleave is shard-local
+    (2.74 ms, gradient all-reduce only). train/steps.py sets it
+    automatically whenever the step is built over a mesh. Both layouts
+    are statistic- and gradient-exact (tests/test_channel_stack.py).
 
     ``x`` is [B, H, W, 2*in_ch] (branch blocks on channels). Returns
     ((local, glob), state) with local/glob [B, H, W, 128] channel-stacked.
@@ -166,46 +178,47 @@ def unet_apply_stacked(params, state, x, *, train: bool,
     c = x1s.shape[-1] // 2
     # down1.conv1 also runs channel-stacked (its 64-lane input would be
     # lane-padded in batched form); the unstack to batch form happens on
-    # the unpadded 128-per-branch conv1 output. The unstack INTERLEAVES
-    # samples (branch b of sample i -> batch index 2i+b) instead of
-    # block-concatenating [branch0 batch | branch1 batch]: under plain-jit
-    # dp the block form crossed the data-axis shard boundary and GSPMD
-    # redistributed 3.7 GB/step of activations (RESULTS.md round 4); the
-    # interleaved form is shard-local. Grouped BN reads the layout via
-    # interleaved=True — statistics identical, branch EMA order unchanged.
+    # the unpadded 128-per-branch conv1 output (layout per dp_local above)
     p1, s1d = params["down1"], state["down1"]
     h = ops.conv3x3(hp, L.bd2(p1["conv1"]["w"]), policy=policy)
     h, s1 = ops.batch_norm(h, p1["bn1"], s1d["bn1"], train=train, groups=2,
                            stacked=True)
     h = L.relu(h)
-    xb = L.interleave_branches(h)                              # -> [2B,...]
+    if dp_local:
+        xb = L.interleave_branches(h)                          # -> [2B,...]
+    else:
+        c1 = h.shape[-1] // 2
+        xb = jnp.concatenate([h[..., :c1], h[..., c1:]], axis=0)
     xb = ops.conv3x3(xb, p1["conv2"]["w"], policy=policy)
     xb, s2 = ops.batch_norm(xb, p1["bn2"], s1d["bn2"], train=train, groups=2,
-                            interleaved=True)
+                            interleaved=dp_local)
     x2 = L.relu(xb)
     new_state["down1"] = {"bn1": s1, "bn2": s2}
     x3, new_state["down2"] = _down(params["down2"], state["down2"], x2,
                                    train=train, groups=2, policy=policy,
-                                   ops=ops, interleaved=True)
+                                   ops=ops, interleaved=dp_local)
     x3 = rs("deep", x3)
     x4, new_state["down3"] = _down(params["down3"], state["down3"], x3,
                                    train=train, groups=2, policy=policy,
-                                   ops=ops, interleaved=True)
+                                   ops=ops, interleaved=dp_local)
     x5, new_state["down4"] = _down(params["down4"], state["down4"], x4,
                                    train=train, groups=2, policy=policy,
-                                   ops=ops, interleaved=True)
+                                   ops=ops, interleaved=dp_local)
     y4, new_state["up1"] = _up(params["up1"], state["up1"], x5, x4,
                                train=train, groups=2, policy=policy,
-                               ops=ops, interleaved=True)
+                               ops=ops, interleaved=dp_local)
     y3, new_state["up2"] = _up(params["up2"], state["up2"], y4, x3,
                                train=train, groups=2, policy=policy,
-                               ops=ops, interleaved=True)
+                               ops=ops, interleaved=dp_local)
     y2, new_state["up3"] = _up(params["up3"], state["up3"], y3, x2,
                                train=train, groups=2, policy=policy,
-                               ops=ops, interleaved=True)
+                               ops=ops, interleaved=dp_local)
     y2 = rs("shallow", y2)
 
-    y2s = L.restack_branches(y2)                   # restack -> [B,...,256]
+    if dp_local:
+        y2s = L.restack_branches(y2)               # restack -> [B,...,256]
+    else:
+        y2s = jnp.concatenate([y2[:b], y2[b:]], axis=-1)
     up, sc = params["up4"], state["up4"]["conv"]
     u = ops.conv_transpose(y2s, L.bd2(up["up"]["w"]),
                            jnp.tile(up["up"]["b"], 2), policy=policy)

@@ -93,6 +93,13 @@ def make_train_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
         ops = DEFAULT_OPS
 
     loss_of = LOSSES[loss]
+    # Under a mesh (plain-jit/GSPMD dp) the twin-branch restack must be
+    # sample-interleaved or GSPMD redistributes GB-scale activations
+    # across the data axis (RESULTS.md round 5). Single-chip keeps the
+    # block layout (faster; XLA fuses the concat/slices). Spatial (=
+    # shard_map) steps are built elsewhere and stay block (shard-local by
+    # construction).
+    dp_local = mesh is not None and not spatial
 
     def grads_of(params, bn_state, x):
         def loss_fn(p):
@@ -102,7 +109,8 @@ def make_train_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
             else:
                 out, new_bn = onet_forward(p, bn_state, x, train=True,
                                            bias=bias, policy=policy,
-                                           reshard=reshard, ops=ops)
+                                           reshard=reshard, ops=ops,
+                                           dp_local=dp_local)
             return loss_of(out), new_bn
 
         return jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -161,7 +169,9 @@ def make_eval_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
     reshard = _make_reshard(mesh, spatial)
     fwd = forward or onet_forward
     fwd_kw = {} if forward not in (None, onet_forward) else {
-        "reshard": reshard}
+        "reshard": reshard,
+        # shard-local twin restack under plain-jit dp (see make_train_step)
+        "dp_local": mesh is not None and not spatial}
 
     loss_of = LOSSES[loss]
 

@@ -113,11 +113,11 @@ def main():
     }
 
     # --- train dp8 via shard_map: same math, no GSPMD resharding --------
-    # The jit/GSPMD step above moves GB-scale activation permutes because
-    # the twin-branch batch restack (models/unet.py::unet_apply_stacked,
-    # down1 level) concatenates [x-block; complement-block] along the
-    # sharded batch dim. Under shard_map the restack is shard-local:
-    # collectives reduce to the gradient psum + BN statistics.
+    # Since round 5 the jit/GSPMD step above is ALSO reshard-free:
+    # make_train_step(mesh=...) interleaves the twin-branch restack
+    # (dp_local=True, models/unet.py::unet_apply_stacked) so the unstack
+    # never crosses the data-axis shard boundary; both rows now carry the
+    # gradient all-reduce only.
     from onet_tpu.parallel.halo import make_spatial_train_step
     mesh = make_mesh(shape=(N_DEV, 1))
     step = make_spatial_train_step(mesh, policy=BF16_COMPUTE)
@@ -207,17 +207,27 @@ def main():
                            "(asserted) — embarrassingly parallel",
     }
 
-    # contrast row: the same inference under plain jit/GSPMD pays the
-    # twin-branch batch-restack reshard (like train dp8 above)
-    fn = jax.jit(lambda f, xx: onet_infer(f, xx, policy=BF16_COMPUTE))
-    cols = parse_collectives(fn.lower(folded, x).compile().as_text(),
-                             default_group=N_DEV)
-    combos["infer dp8 jit/GSPMD"] = {
-        "proj": project_step(t_infer, cols,
-                             tiles_per_step=N_DEV * PER_CHIP_BATCH),
-        "collectives": summarize(cols),
-        "t_compute_basis": "same anchor; GSPMD reshards the batch restack",
-    }
+    # contrast rows: the same inference under plain jit/GSPMD. With the
+    # default block restack GSPMD reshards the twin-branch unstack; with
+    # dp_local=True (the round-5 interleaved restack) the graph compiles
+    # to ZERO collectives, matching shard_map.
+    for label, dpl in (("infer dp8 jit/GSPMD (block)", False),
+                       ("infer dp8 jit/GSPMD (dp_local)", True)):
+        fn = jax.jit(lambda f, xx, _d=dpl: onet_infer(
+            f, xx, policy=BF16_COMPUTE, dp_local=_d))
+        cols = parse_collectives(fn.lower(folded, x).compile().as_text(),
+                                 default_group=N_DEV)
+        combos[label] = {
+            "proj": project_step(t_infer, cols,
+                                 tiles_per_step=N_DEV * PER_CHIP_BATCH),
+            "collectives": summarize(cols),
+            "t_compute_basis": ("same anchor; GSPMD reshards the block "
+                                "batch restack" if not dpl else
+                                "same anchor; interleaved restack is "
+                                "shard-local (zero collectives)"),
+        }
+    assert not combos["infer dp8 jit/GSPMD (dp_local)"]["collectives"], \
+        "dp_local inference must compile collective-free"
 
     # --- combined headline (bench harmonic mean, 8 chips) ---------------
     # best exact dp8 training path (shard_map wins when GSPMD reshards)

@@ -24,11 +24,15 @@ def setup():
     return params, state, x
 
 
+@pytest.mark.parametrize("dp_local", [False, True])
 @pytest.mark.parametrize("train", [False, True])
-def test_forward_equivalence(setup, train):
+def test_forward_equivalence(setup, train, dp_local):
+    """Both middle-level batch layouts (block and dp-local interleave,
+    unet_apply_stacked) must match the batch-stacked reference path."""
     params, state, x = setup
     o1, s1 = onet_forward(params, state, x, train=train, channel_stack=False)
-    o2, s2 = onet_forward(params, state, x, train=train, channel_stack=True)
+    o2, s2 = onet_forward(params, state, x, train=train, channel_stack=True,
+                          dp_local=dp_local)
     for name in ("Lt", "Ld", "Vt", "Vd", "S"):
         a = getattr(o1, name).astype(jnp.float32)
         b = getattr(o2, name).astype(jnp.float32)
@@ -37,11 +41,13 @@ def test_forward_equivalence(setup, train):
     assert max(jax.tree.leaves(errs)) < 1e-6
 
 
-def test_gradient_equivalence(setup):
+@pytest.mark.parametrize("dp_local", [False, True])
+def test_gradient_equivalence(setup, dp_local):
     params, state, x = setup
 
     def loss_fn(p, stack):
-        out, _ = onet_forward(p, state, x, train=True, channel_stack=stack)
+        out, _ = onet_forward(p, state, x, train=True, channel_stack=stack,
+                              dp_local=stack and dp_local)
         return compute_loss(out)
 
     g1 = jax.grad(lambda p: loss_fn(p, False))(params)
