@@ -167,3 +167,50 @@ def test_project_step_arithmetic():
     assert rec["t_step_ms"] == pytest.approx(expect * 1e3)
     assert rec["tiles_per_s"] == pytest.approx(10 / expect)
     assert 0 < rec["ici_fraction"] < 1
+
+
+def test_mesh_train_step_has_no_activation_resharding():
+    """Round-5 regression guard for the interleaved twin restack: a
+    mesh-built train step (dp_local set automatically) must compile with
+    ZERO collective-permute / all-to-all / all-gather — activation
+    resharding would mean the restack crossed the data-axis shard
+    boundary again (3.7 GB/step at bench shapes, RESULTS.md round 5).
+    Only gradient/BN-stat all-reduces are allowed."""
+    from onet_tpu.core.mesh import make_mesh
+    from onet_tpu.models.onet import onet_init
+    from onet_tpu.train.optim import adam_init
+    from onet_tpu.train.steps import make_train_step
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    params, bn = onet_init(jax.random.key(0), 1, base=8)
+    mesh = make_mesh(shape=(8, 1))
+    step = make_train_step(mesh=mesh)
+    x = jax.ShapeDtypeStruct((8, 32, 32, 1), jnp.float32)
+    hlo = step.lower(params, bn, adam_init(params), x, 1e-4
+                     ).compile().as_text()
+    cols = parse_collectives(hlo, default_group=8)
+    bad = [c for c in cols if c.kind != "all-reduce"]
+    assert not bad, f"activation resharding reappeared: {summarize(bad)}"
+
+
+def test_mesh_infer_dp_local_collective_free():
+    """Plain-jit dp inference with dp_local=True must compile with no
+    collectives at all (matches the shard_map serving path)."""
+    from onet_tpu.core.mesh import (batch_sharding, make_mesh, replicated)
+    from onet_tpu.models.infer import fold_onet, onet_infer
+    from onet_tpu.models.onet import onet_init
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    params, bn = onet_init(jax.random.key(0), 1, base=8)
+    mesh = make_mesh(shape=(8, 1))
+    folded = jax.jit(fold_onet)(params, bn)
+    folded = jax.device_put(folded, replicated(mesh))
+    x = jax.ShapeDtypeStruct((8, 32, 32, 1), jnp.float32,
+                             sharding=batch_sharding(mesh))
+    fn = jax.jit(lambda f, xx: onet_infer(f, xx, dp_local=True))
+    hlo = fn.lower(folded, x).compile().as_text()
+    cols = parse_collectives(hlo, default_group=8)
+    assert not cols, f"dp_local inference must be collective-free: " \
+                     f"{summarize(cols)}"
