@@ -57,7 +57,13 @@ def atm_light(im, dark):
 
 
 def transmission_estimate(im, a, sz: int = 15, omega: float = 0.95):
-    return 1.0 - omega * dark_channel(im / a[None, None, :], sz)
+    # guard the degenerate numpx==1 case (images < 2000 px): the
+    # reference's skip-the-first loop leaves a == 0 there, and im/0 would
+    # cascade NaN through the whole pipeline (the reference never runs on
+    # such small images; our micro-scale chain tests do). For any real
+    # thumbnail (224^2 -> numpx=50) this clamp is inert.
+    a_safe = jnp.maximum(a, 1e-6)
+    return 1.0 - omega * dark_channel(im / a_safe[None, None, :], sz)
 
 
 def guided_filter(guide, p, r: int, eps: float):

@@ -14,7 +14,11 @@ from onet_tpu.preprocess import (
 
 @pytest.fixture
 def im(rng):
-    return rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    # >= 2000 px so atm_light's top-0.1% set has numpx >= 2 — the
+    # reference's operating regime (224^2 thumbnails -> numpx=50). Below
+    # 2000 px the reference's skip-the-first loop leaves a == 0 and its
+    # pipeline emits NaN; ours clamps (see test_tiny_image_is_finite).
+    return rng.uniform(0, 1, (50, 50, 3)).astype(np.float32)
 
 
 def cv2_pipeline(im, sz=3, radius=3, eps=1e-4, tx=0.3):
@@ -89,3 +93,15 @@ def test_all_pre_options_run(rng):
         out = apply_pre_option(u8, opt)
         assert out.shape == (64, 64, 3) and out.dtype == np.float32
         assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_tiny_image_dehaze_is_finite(rng):
+    """Documented divergence from the reference: on images < 2000 px the
+    reference's atm-light loop (`for ind in range(1, numpx)`) leaves
+    a == 0 and the division cascades NaN through the whole pipeline; our
+    transmission_estimate clamps a (inert for any real thumbnail) so
+    every preprocessing option stays finite (preprocess/haze.py)."""
+    u8 = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    for o in PRE_OPTIONS:
+        out = apply_pre_option(u8, o)
+        assert np.isfinite(out).all(), o
