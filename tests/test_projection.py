@@ -59,7 +59,7 @@ def test_psum_known_payload_through_compiler():
     """An explicit shard_map psum of f32[128] compiles to exactly one
     all-reduce of 512 bytes over the full 8-group."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from onet_tpu.core.mesh import make_mesh
 
     if len(jax.devices()) < 8:
