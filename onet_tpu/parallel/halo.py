@@ -113,7 +113,8 @@ def make_halo_ops(n_space: int, n_spacew: int = 1, *,
                    stacked: bool = False, interleaved: bool = False):
         if not train:
             return L.batch_norm(x, params, state, train=False, groups=groups,
-                                momentum=momentum, eps=eps, stacked=stacked)
+                                momentum=momentum, eps=eps, stacked=stacked,
+                                interleaved=interleaved)
         c = len(params["scale"])
         xf = x.astype(jnp.float32)
         n, h, w, _ = x.shape

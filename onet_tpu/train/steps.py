@@ -93,13 +93,14 @@ def make_train_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
         ops = DEFAULT_OPS
 
     loss_of = LOSSES[loss]
-    # Under a mesh (plain-jit/GSPMD dp) the twin-branch restack must be
-    # sample-interleaved or GSPMD redistributes GB-scale activations
-    # across the data axis (RESULTS.md round 5). Single-chip keeps the
-    # block layout (faster; XLA fuses the concat/slices). Spatial (=
-    # shard_map) steps are built elsewhere and stay block (shard-local by
-    # construction).
-    dp_local = mesh is not None and not spatial
+    # Under a mesh (plain-jit/GSPMD, with or without the spatial axis:
+    # the batch stays sharded over 'data' either way) the twin-branch
+    # restack must be sample-interleaved or GSPMD redistributes GB-scale
+    # activations across the data axis (RESULTS.md round 5). Single-chip
+    # keeps the block layout (faster; XLA fuses the concat/slices). The
+    # shard_map spatial step (parallel/halo.py) is built elsewhere and
+    # stays block — shard-local by construction inside shard_map.
+    dp_local = mesh is not None
 
     def grads_of(params, bn_state, x):
         def loss_fn(p):
@@ -171,7 +172,7 @@ def make_eval_step(*, policy: Policy = DEFAULT, bias: float = 0.0,
     fwd_kw = {} if forward not in (None, onet_forward) else {
         "reshard": reshard,
         # shard-local twin restack under plain-jit dp (see make_train_step)
-        "dp_local": mesh is not None and not spatial}
+        "dp_local": mesh is not None}
 
     loss_of = LOSSES[loss]
 

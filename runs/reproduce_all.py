@@ -55,6 +55,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from onet_tpu.core.cache import enable_compilation_cache
 
+# full-scale model/frame geometry, shared by smoke and paper so the smoke
+# rehearsal can never desynchronize from the protocol it rehearses
+_FULL_GEOM = dict(base=64, crop=224, nau_size=200, zy3_n=(32, 12),
+                  scene_size=384, resize=300)
+
 SCALES = {
     # epochs: (sim, baseline(infoseg/iic), zy3); frames per PSNR level;
     # scenes for the on-ramp; frames/level in the verify sweeps.
@@ -67,12 +72,10 @@ SCALES = {
                   zy3_n=(6, 6), scene_size=48, resize=44),
     "smoke": dict(sim_epochs=6, base_epochs=6, zy3_epochs=3,
                   frames=8, sweep_frames=6, scenes=6, batch=8,
-                  eval_every=5, base=64, crop=224, nau_size=200,
-                  zy3_n=(32, 12), scene_size=384, resize=300),
+                  eval_every=5, **_FULL_GEOM),
     "paper": dict(sim_epochs=301, base_epochs=60, zy3_epochs=11,
                   frames=150, sweep_frames=150, scenes=12, batch=10,
-                  eval_every=50, base=64, crop=224, nau_size=200,
-                  zy3_n=(32, 12), scene_size=384, resize=300),
+                  eval_every=50, **_FULL_GEOM),
 }
 
 ANCHORS = {
@@ -371,13 +374,17 @@ def run(scale: str, out_root: str):
         base_miou = float(np.mean([r["base_miou"] for r in rows])) \
             if "base_miou" in rows[0] else None
         picked = sorted({r["opt"] for r in rows})
+        # base_* are None when raw_rgb is not in the scored option set
+        # (possible through onramp.py's options kwarg, never the default)
+        fmt = lambda v: f"{v:.4f}" if v is not None else "n/a"
         print(f"  selected options {picked}: acc "
-              f"{base_acc:.4f} -> {mean_acc:.4f} miou "
-              f"{base_miou:.4f} -> {mean_miou:.4f} after pre-processing")
+              f"{fmt(base_acc)} -> {mean_acc:.4f} miou "
+              f"{fmt(base_miou)} -> {mean_miou:.4f} after pre-processing")
+        rnd = lambda v: round(v, 4) if v is not None else None
         return {"acc_after": round(mean_acc, 4),
                 "miou_after": round(mean_miou, 4),
-                "acc_before": round(base_acc, 4),
-                "miou_before": round(base_miou, 4),
+                "acc_before": rnd(base_acc),
+                "miou_before": rnd(base_miou),
                 "options_selected": picked,
                 "data": scene_root, "comparability": comp}
 
